@@ -159,15 +159,54 @@ def _window_stack(img: jax.Array, ksize: int) -> jax.Array:
     return jnp.stack(views, axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _batcher_pairs(n: int) -> tuple:
+    """Compare-exchange pairs of a Batcher odd-even merge sorting network."""
+    pairs = []
+
+    def merge(lo, cnt, r):
+        step = r * 2
+        if step < cnt:
+            merge(lo, cnt, step)
+            merge(lo + r, cnt, step)
+            for i in range(lo + r, lo + cnt - r, step):
+                pairs.append((i, i + r))
+        else:
+            pairs.append((lo, lo + r))
+
+    def sort(lo, cnt):
+        if cnt > 1:
+            m = cnt // 2
+            sort(lo, m)
+            sort(lo + m, m)
+            merge(lo, cnt, 1)
+
+    # pad to power of two
+    m = 1
+    while m < n:
+        m *= 2
+    sort(0, m)
+    return tuple((a, b) for a, b in pairs if a < n and b < n), m
+
+
 def median_blur(img: jax.Array, ksize: int = 5) -> jax.Array:
     """Median filter on (..., H, W) — replaces cv2.medianBlur (depth_map.py:912).
 
-    Sorts the k² window per pixel (VPU sort network); k is small (3/5) so the
-    k²·log k² cost is negligible next to SGM aggregation.
+    Implemented as a compile-time Batcher sorting network over the k² shifted
+    views (pure min/max chains → one fused VPU kernel; ~240 compare-exchanges
+    for k=5). ``jnp.sort`` over a tiny trailing axis is orders of magnitude
+    slower on TPU.
     """
-    win = _window_stack(img, ksize)
     k2 = ksize * ksize
-    return jnp.sort(win, axis=-1)[..., k2 // 2]
+    win = _window_stack(img, ksize)
+    vals = [win[..., i] for i in range(k2)]
+    # Pairs touching padded (+inf) positions are no-ops and already pruned.
+    pairs, _ = _batcher_pairs(k2)
+    for a, b in pairs:
+        lo = jnp.minimum(vals[a], vals[b])
+        hi = jnp.maximum(vals[a], vals[b])
+        vals[a], vals[b] = lo, hi
+    return vals[k2 // 2]
 
 
 def bilateral_filter(img: jax.Array, d: int = 9, sigma_color: float = 75.0, sigma_space: float = 75.0) -> jax.Array:

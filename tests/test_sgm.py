@@ -1,0 +1,138 @@
+"""Disparity engine tests: synthetic ground truth + cv2.StereoSGBM comparison."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from stereovision_tpu.stereo import SGMParams, compute_disparity, disparity_with_confidence
+
+RNG = np.random.default_rng(3)
+
+
+def shifted_pair(h=96, w=160, shift=8):
+    """Right image == left shifted left by `shift` px (constant disparity)."""
+    base = RNG.uniform(0, 255, size=(h, w + shift + 8)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (5, 5), 1.0)  # correlated texture
+    left = base[:, :w]
+    right = base[:, shift : shift + w]  # content shifted left ⇒ disparity +shift
+    return left, right
+
+
+def slanted_pair(h=96, w=192, d0=4.0, d1=14.0):
+    """Disparity ramps linearly in left coords: d(x) = d0 + (d1-d0)·x/w.
+
+    Exact warp: right pixel u sees the texture of left pixel x solving
+    x − d(x) = u, i.e. x = (u + d0)/(1 − b) for linear d.
+    """
+    base = RNG.uniform(0, 255, size=(h, 2 * w)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (5, 5), 1.0)
+    xs = np.arange(w, dtype=np.float64)
+    b = (d1 - d0) / w
+    disp = d0 + b * xs
+    left = np.zeros((h, w), np.float32)
+    right = np.zeros((h, w), np.float32)
+    x_of_u = (xs + d0) / (1.0 - b)  # left coordinate seen by right pixel u
+    for y in range(h):
+        left[y] = np.interp(xs + 40.0, np.arange(2 * w), base[y])
+        right[y] = np.interp(x_of_u + 40.0, np.arange(2 * w), base[y])
+    return left, right, disp.astype(np.float32)
+
+
+class TestConstantDisparity:
+    def test_recovers_shift(self):
+        shift = 8
+        left, right = shifted_pair(shift=shift)
+        p = SGMParams(num_disparities=32, median_ksize=5)
+        disp, valid = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
+        disp, valid = np.asarray(disp), np.asarray(valid)
+        interior = disp[8:-8, 40:-8]
+        vi = valid[8:-8, 40:-8]
+        assert vi.mean() > 0.9, vi.mean()
+        err = np.abs(interior[vi] - shift)
+        assert np.median(err) < 0.5, np.median(err)
+        assert (err < 1.0).mean() > 0.95
+
+    def test_batch_vmap(self):
+        import jax
+
+        left, right = shifted_pair(shift=6)
+        p = SGMParams(num_disparities=32)
+        f = jax.vmap(lambda l, r: compute_disparity(l, r, p))
+        ls = jnp.stack([jnp.asarray(left)] * 3)
+        rs = jnp.stack([jnp.asarray(right)] * 3)
+        disp, valid = f(ls, rs)
+        assert disp.shape == (3, 96, 160)
+        d0 = np.asarray(disp[0])
+        np.testing.assert_array_equal(d0, np.asarray(disp[2]))
+
+    def test_invalid_marker(self):
+        left, right = shifted_pair(shift=8)
+        p = SGMParams(min_disparity=0, num_disparities=32)
+        disp, valid = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
+        disp, valid = np.asarray(disp), np.asarray(valid)
+        assert np.all(disp[~valid] == -1.0)
+
+
+class TestSubpixel:
+    def test_slanted_plane_subpixel(self):
+        left, right, gt = slanted_pair()
+        p = SGMParams(num_disparities=32, median_ksize=5)
+        disp, valid = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
+        disp, valid = np.asarray(disp), np.asarray(valid)
+        inner = np.s_[8:-8, 24:-8]
+        err = np.abs(disp[inner] - gt[None, 24:-8])[valid[inner]]
+        assert np.median(err) < 0.35, np.median(err)  # subpixel accuracy
+
+
+class TestAgainstOpenCV:
+    def test_comparable_to_sgbm(self):
+        """Depth-map fidelity anchor (BASELINE.md): our engine and cv2.SGBM agree
+        on a well-textured synthetic scene to ≲1 px on commonly-valid pixels."""
+        left, right, gt = slanted_pair(h=128, w=256, d0=6, d1=20)
+        lu8, ru8 = left.astype(np.uint8), right.astype(np.uint8)
+        num_disp = 48
+        sgbm = cv2.StereoSGBM_create(
+            minDisparity=0, numDisparities=num_disp, blockSize=7,
+            P1=8 * 49, P2=32 * 49, disp12MaxDiff=1, uniquenessRatio=10,
+            speckleWindowSize=100, speckleRange=32, preFilterCap=63,
+            mode=cv2.STEREO_SGBM_MODE_SGBM_3WAY,
+        )
+        disp_cv = sgbm.compute(lu8, ru8).astype(np.float32) / 16.0
+        p = SGMParams(num_disparities=num_disp)
+        disp, valid = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
+        disp, valid = np.asarray(disp), np.asarray(valid)
+        inner = np.s_[10:-10, 56:-10]
+        both = valid[inner] & (disp_cv[inner] > 0)
+        assert both.mean() > 0.75, both.mean()
+        diff = np.abs(disp[inner] - disp_cv[inner])[both]
+        assert np.median(diff) < 1.0, np.median(diff)
+        # both should be close to ground truth
+        err_ours = np.abs(disp[inner] - gt[None, 56:-10])[both]
+        err_cv = np.abs(disp_cv[inner] - gt[None, 56:-10])[both]
+        assert np.median(err_ours) < max(0.5, 1.2 * np.median(err_cv)), (
+            np.median(err_ours), np.median(err_cv))
+
+
+class TestConfidence:
+    def test_confidence_contract(self):
+        left, right = shifted_pair(shift=8)
+        p = SGMParams(num_disparities=32)
+        disp, conf = disparity_with_confidence(jnp.asarray(left), jnp.asarray(right), p)
+        disp, conf = np.asarray(disp), np.asarray(conf)
+        assert set(np.unique(conf)) <= {0.0, 1.0}
+        assert np.all(disp[conf > 0] > 1.0)
+        assert np.all(disp[conf > 0] < 31.0)
+
+
+class TestOcclusion:
+    def test_lr_check_invalidates_unmatched(self):
+        """A band that exists only in the left image must be flagged invalid."""
+        left, right = shifted_pair(h=96, w=160, shift=8)
+        right = right.copy()
+        right[:, 60:90] = RNG.uniform(0, 255, size=(96, 30))  # destroy matches
+        p = SGMParams(num_disparities=32)
+        _, valid = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
+        valid = np.asarray(valid)
+        corrupted = valid[10:-10, 70:86]
+        clean = valid[10:-10, 110:150]
+        assert corrupted.mean() < 0.5 * clean.mean() + 0.2

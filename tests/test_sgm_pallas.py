@@ -1,0 +1,47 @@
+"""Pallas SGM kernels (interpreter mode) must match the XLA reference path."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from stereovision_tpu.stereo import SGMParams, compute_disparity
+from stereovision_tpu.stereo.sgm import aggregate, census_cost_volume
+
+RNG = np.random.default_rng(11)
+
+
+def small_pair(h=40, w=72, shift=5):
+    base = RNG.uniform(0, 255, size=(h, w + shift)).astype(np.float32)
+    return base[:, :w], base[:, shift : shift + w]
+
+
+class TestPallasParity:
+    def test_aggregate_matches_xla(self):
+        left, right = small_pair()
+        p_x = SGMParams(num_disparities=16, impl="xla")
+        p_p = dataclasses.replace(p_x, impl="pallas_interpret")
+        cost = census_cost_volume(jnp.asarray(left), jnp.asarray(right), p_x)
+        s_x = np.asarray(aggregate(cost, p_x))
+        s_p = np.asarray(aggregate(cost, p_p))
+        np.testing.assert_allclose(s_p, s_x, atol=1e-4)
+
+    def test_full_pipeline_matches_xla(self):
+        left, right = small_pair()
+        p_x = SGMParams(num_disparities=16, impl="xla")
+        p_p = dataclasses.replace(p_x, impl="pallas_interpret")
+        dx, vx = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_x)
+        dp, vp = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_p)
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dx), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(vx))
+
+    def test_reverse_direction(self):
+        """Reverse aggregation == flipping, aggregating forward, flipping back."""
+        from stereovision_tpu.ops import sgm_pallas
+
+        cost = jnp.asarray(RNG.uniform(0, 24, size=(23, 40, 128)).astype(np.float32))
+        fwd_of_flipped = sgm_pallas.aggregate_dir(
+            cost[::-1], 8.0, 96.0, interpret=True
+        )[::-1]
+        rev = sgm_pallas.aggregate_dir(cost, 8.0, 96.0, reverse=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(rev), np.asarray(fwd_of_flipped), atol=1e-4)
