@@ -1,0 +1,2 @@
+from stereovision_tpu.parallel.mesh import make_mesh  # noqa: F401
+from stereovision_tpu.parallel.disparity import sharded_disparity  # noqa: F401
