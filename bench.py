@@ -44,7 +44,11 @@ def bench_tpu(left_np, right_np):
     params = SGMParams(num_disparities=D)
     left = jnp.stack([jnp.asarray(left_np)] * BATCH)
     right = jnp.stack([jnp.asarray(right_np)] * BATCH)
-    fn = jax.jit(jax.vmap(lambda l, r: compute_disparity(l, r, params)))
+    # lax.map keeps one frame's cost volumes live at a time (vmap would
+    # multiply the ~GB volumes by BATCH and blow HBM)
+    fn = jax.jit(
+        lambda ls, rs: jax.lax.map(lambda p: compute_disparity(p[0], p[1], params), (ls, rs))
+    )
     disp, _ = fn(left, right)
     float(jnp.sum(disp))  # force full execution through the async tunnel
     n = 3
