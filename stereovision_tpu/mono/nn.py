@@ -1,0 +1,52 @@
+"""Neural mono-depth estimator: the ``DepthEstimatorMidas`` equivalent.
+
+Pre/post contract from the reference (fused_depth_map.py:1102-1167):
+- input BGR frame → RGB, resized to the network size
+- forward pass → relative inverse depth
+- bicubic-class resize back to frame size (bilinear here; the ¼-px difference
+  is far below the fusion quantization)
+- min-max normalize to [0, 255]                                (:1144-1151)
+- confidence = normalized |gray − GaussianBlur(gray, 5)| local contrast
+                                                               (:1153-1158)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from stereovision_tpu.core import image as im
+from stereovision_tpu.models.midas import MidasSmall
+
+
+def create_model(seed: int = 0, net_hw=(256, 256)):
+    """Build the model and (randomly initialized) variables.
+
+    Random init keeps the full pipeline runnable offline; see
+    models.midas.load_torch_state_dict for the weight-porting path.
+    """
+    model = MidasSmall()
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init(rng, jnp.zeros((1, *net_hw, 3), jnp.float32))
+    return model, variables
+
+
+@functools.partial(jax.jit, static_argnames=("model", "net_hw"))
+def estimate_depth(model, variables, frame_bgr, net_hw=(256, 256)):
+    """(H, W, 3) BGR uint8/float → (depth_norm [0,255] (H, W), conf [0,1]).
+
+    jit-compatible; batch by vmapping over a leading axis.
+    """
+    frame = frame_bgr.astype(jnp.float32)
+    rgb = frame[..., ::-1] / 255.0
+    H, W = frame.shape[0], frame.shape[1]
+    small = im.resize(rgb, net_hw)
+    pred = model.apply(variables, small[None])[0]
+    depth = im.resize(pred, (H, W))
+    depth_norm = im.minmax_normalize(depth, 0.0, 255.0)
+    gray = im.grayscale_bgr(frame)
+    contrast = jnp.abs(gray - im.gaussian_blur(gray, 5))
+    conf = im.minmax_normalize(contrast, 0.0, 1.0)
+    return depth_norm, conf

@@ -1,21 +1,22 @@
 """Pallas TPU kernels for semi-global matching.
 
-Two kernels cover the disparity engine's hot path:
+Kernels (all streaming, HBM-traffic-bound by design):
 
-- :func:`aggregate_dir` — the SGM path recurrence along one scan direction.
-  The sequential dependency only exists along the scan axis; each step is a
-  (rows × D) VPU block. The kernel keeps the running L row in VMEM scratch and
-  streams cost blocks through, so per-frame HBM traffic is read-cost +
-  write-L, nothing else. ``lax.scan`` in XLA pays per-step dispatch overhead
-  (~ms for 1280 steps); here the scan is grid iteration with double-buffered
-  DMA.
+- :func:`cost_volume` — census Hamming cost directly into (H, W, D) layout.
+  Uses the reversed-right-census trick so the disparity axis of each output
+  pixel is one contiguous lane-dim slice of the (pre-flipped) right census —
+  no gathers, native ``population_count``.
+
+- :func:`aggregate_dir` — the SGM path recurrence along either array axis
+  (axis 0: vertical paths; axis 1: horizontal paths — no transposes), forward
+  or reverse (in-kernel), with optional fused accumulation into the running
+  sum volume via input/output aliasing.
 
 - :func:`wta` — fused winner-take-all over the summed volume: argmin, parabola
-  subpixel neighbors, and the cv2-style uniqueness competitor, all computed in
-  one read of the volume.
+  subpixel neighbors, and the cv2-style uniqueness competitor in one read.
 
-Both operate on (S, X, D) / (H, W, D) float32 with D a multiple of 128 (lane
-dimension). Wrappers in ``stereo.sgm`` pad/transpose as needed.
+All operate on (H, W, D) float32 with D a multiple of 128 (lane dimension).
+Wrappers in ``stereo.sgm`` pad as needed.
 """
 
 from __future__ import annotations
@@ -31,30 +32,133 @@ _BIG = 1e9
 
 
 # ---------------------------------------------------------------------------
+# Census cost volume
+# ---------------------------------------------------------------------------
+
+
+def _cost_kernel(
+    cl_ref, crr_ref, out_ref, *, bw: int, d: int, d_valid: int, w: int, min_d: int, max_cost: float
+):
+    # cl_ref/crr_ref layout: (nw, BH, W) — words leading so W sits in lanes
+    # (an (H, W, nw=2) layout would pad the 2-element lane dim to 128 in VMEM).
+    j = pl.program_id(1)
+    nw = cl_ref.shape[0]
+    bh = cl_ref.shape[1]
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (bh, d), 1)
+
+    def col(xx, _):
+        x = j * bw + xx
+        # cr_rev[w-1-x+min_d : +D] == cr[x-min_d-d] for d ascending
+        start = w - 1 - x + min_d
+        cost = jnp.zeros((bh, d), jnp.float32)
+        for word in range(nw):
+            # lane-dim slices must be 128-aligned → rotate instead of slice
+            clv = pltpu.roll(cl_ref[word], -x, 1)[:, :1]         # (BH, 1)
+            crv = pltpu.roll(crr_ref[word], -start, 1)[:, :d]    # (BH, D)
+            cost = cost + jax.lax.population_count(clv ^ crv).astype(jnp.float32)
+        # mask disparities that reach left of the image: x - min_d - d < 0
+        cost = jnp.where(d_iota > x - min_d, max_cost, cost)
+        # lane-padding disparities beyond the requested range never win
+        if d_valid < d:
+            cost = jnp.where(d_iota >= d_valid, _BIG, cost)
+        out_ref[:, pl.ds(xx, 1), :] = cost[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, bw, col, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d", "d_valid", "min_d", "max_cost", "block_h", "block_w", "interpret"),
+)
+def cost_volume(
+    census_l: jax.Array,
+    census_r: jax.Array,
+    d: int,
+    d_valid: int | None = None,
+    min_d: int = 0,
+    max_cost: float = 48.0,
+    block_h: int = 8,
+    block_w: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """census pair (H, W, nw int32) → (H, W, d) float32 Hamming cost volume.
+
+    ``d`` must be a multiple of 128 (lane padding); lanes ≥ ``d_valid`` are set
+    to a huge cost so downstream argmins ignore them. Disparity i encodes
+    min_d + i.
+    """
+    H, W, nw = census_l.shape
+    if d_valid is None:
+        d_valid = d
+    pad_r = d + max(min_d, 0)
+    cl = jnp.moveaxis(census_l, -1, 0)                     # (nw, H, W)
+    crr = jnp.moveaxis(census_r[:, ::-1, :], -1, 0)
+    # pad so every slice start (max W-1+min_d) + d stays in bounds
+    crr = jnp.pad(crr, ((0, 0), (0, 0), (0, pad_r)))
+    nh = pl.cdiv(H, block_h)
+    nwb = pl.cdiv(W, block_w)
+    return pl.pallas_call(
+        functools.partial(
+            _cost_kernel,
+            bw=block_w, d=d, d_valid=d_valid, w=W, min_d=min_d, max_cost=float(max_cost),
+        ),
+        grid=(nh, nwb),
+        in_specs=[
+            pl.BlockSpec((nw, block_h, W), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (nw, block_h, W + pad_r), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_h, block_w, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, W, d), jnp.float32),
+        interpret=interpret,
+    )(cl, crr)
+
+
+# ---------------------------------------------------------------------------
 # Directional aggregation
 # ---------------------------------------------------------------------------
 
 
-def _agg_kernel(cost_ref, out_ref, lprev_ref, *, ks: int, p1: float, p2: float, reverse: bool):
-    j = pl.program_id(1)  # scan-block index (sequential, innermost)
+def _sgm_step(prev, c, p1, p2):
+    min_prev = jnp.min(prev, axis=-1, keepdims=True)
+    shift_m = jnp.concatenate([jnp.full_like(prev[:, :1], _BIG), prev[:, :-1]], axis=-1)
+    shift_p = jnp.concatenate([prev[:, 1:], jnp.full_like(prev[:, :1], _BIG)], axis=-1)
+    best = jnp.minimum(jnp.minimum(prev, min_prev + p2), jnp.minimum(shift_m, shift_p) + p1)
+    return c + best - min_prev
+
+
+def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis):
+    if acc:
+        cost_ref, acc_ref, out_ref, lprev_ref = refs
+    else:
+        cost_ref, out_ref, lprev_ref = refs
+        acc_ref = None
+    j = pl.program_id(1)
+
+    def read(ref, s):
+        if axis == 0:
+            return ref[pl.ds(s, 1)][0]
+        return ref[:, pl.ds(s, 1), :][:, 0]
+
+    def write(ref, s, v):
+        if axis == 0:
+            ref[pl.ds(s, 1)] = v[None]
+        else:
+            ref[:, pl.ds(s, 1), :] = v[:, None]
 
     def col(it, _):
         s = (ks - 1 - it) if reverse else it
-        c = cost_ref[pl.ds(s, 1)][0]  # (TX, D)
-        prev = lprev_ref[:]
-        min_prev = jnp.min(prev, axis=-1, keepdims=True)
-        shift_m = jnp.concatenate(
-            [jnp.full_like(prev[:, :1], _BIG), prev[:, :-1]], axis=-1
-        )
-        shift_p = jnp.concatenate(
-            [prev[:, 1:], jnp.full_like(prev[:, :1], _BIG)], axis=-1
-        )
-        best = jnp.minimum(
-            jnp.minimum(prev, min_prev + p2), jnp.minimum(shift_m, shift_p) + p1
-        )
+        c = read(cost_ref, s)  # (TX, D)
         first = jnp.logical_and(j == 0, it == 0)
-        l = jnp.where(first, c, c + best - min_prev)
-        out_ref[pl.ds(s, 1)] = l[None]
+        l = jnp.where(first, c, _sgm_step(lprev_ref[:], c, p1, p2))
+        if acc_ref is not None:
+            write(out_ref, s, read(acc_ref, s) + l)
+        else:
+            write(out_ref, s, l)
         lprev_ref[:] = l
         return 0
 
@@ -62,50 +166,79 @@ def _agg_kernel(cost_ref, out_ref, lprev_ref, *, ks: int, p1: float, p2: float, 
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p1", "p2", "reverse", "block_s", "block_x", "interpret")
+    jax.jit,
+    static_argnames=("p1", "p2", "axis", "reverse", "block_s", "block_x", "interpret"),
 )
 def aggregate_dir(
     cost: jax.Array,
     p1: float,
     p2: float,
+    axis: int = 0,
     reverse: bool = False,
+    acc: jax.Array | None = None,
     block_s: int = 8,
-    block_x: int = 120,
+    block_x: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """SGM path aggregation along axis 0 of ``cost`` (S, X, D) → L (S, X, D).
+    """SGM path aggregation along ``axis`` (0 or 1) of cost (H, W, D).
 
-    ``reverse=True`` aggregates back-to-front (the ← and ↑ paths), done
-    in-kernel by visiting scan blocks and in-block columns in reverse — no
-    array flips. S is padded to a block multiple with a constant; a constant
-    prefix/suffix leaves the recurrence at the first real column equal to a
-    fresh start (best − min_prev ≡ 0), so padding is semantically invisible.
-    D must be a multiple of 128.
+    ``reverse`` aggregates back-to-front in-kernel (no flips). If ``acc`` is
+    given (same shape), the path costs are added onto it in place (the running
+    4-direction sum) via input/output aliasing. The scan length is padded to a
+    block multiple with a constant, which the recurrence treats as a fresh
+    start (best − min_prev ≡ 0 on constant slices). D must be a multiple of
+    128.
     """
-    S, X, D = cost.shape
+    H, W, D = cost.shape
+    S = cost.shape[axis]
+    X = cost.shape[1 - axis]
     pad_s = (-S) % block_s
     if pad_s:
-        cost = jnp.pad(cost, ((0, pad_s), (0, 0), (0, 0)), constant_values=1.0)
+        pad_cfg = [(0, 0), (0, 0), (0, 0)]
+        pad_cfg[axis] = (0, pad_s)
+        cost = jnp.pad(cost, pad_cfg, constant_values=1.0)
+        if acc is not None:
+            acc = jnp.pad(acc, pad_cfg)
     ns = (S + pad_s) // block_s
     nx = pl.cdiv(X, block_x)
-    if reverse:
-        index_map = lambda i, j: (ns - 1 - j, i, 0)  # noqa: E731
+
+    if axis == 0:
+        blk = (block_s, block_x, D)
+        if reverse:
+            index_map = lambda i, j: (ns - 1 - j, i, 0)  # noqa: E731
+        else:
+            index_map = lambda i, j: (j, i, 0)  # noqa: E731
     else:
-        index_map = lambda i, j: (j, i, 0)  # noqa: E731
-    out = pl.pallas_call(
-        functools.partial(
-            _agg_kernel, ks=block_s, p1=float(p1), p2=float(p2), reverse=reverse
-        ),
+        blk = (block_x, block_s, D)
+        if reverse:
+            index_map = lambda i, j: (i, ns - 1 - j, 0)  # noqa: E731
+        else:
+            index_map = lambda i, j: (i, j, 0)  # noqa: E731
+    scratch = pltpu.VMEM((block_x, D), jnp.float32)
+
+    out_sd = jax.ShapeDtypeStruct(cost.shape, cost.dtype)
+    spec = pl.BlockSpec(blk, index_map, memory_space=pltpu.VMEM)
+    kwargs = dict(
         grid=(nx, ns),
-        in_specs=[
-            pl.BlockSpec((block_s, block_x, D), index_map, memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((block_s, block_x, D), index_map, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S + pad_s, X, D), cost.dtype),
-        scratch_shapes=[pltpu.VMEM((block_x, D), jnp.float32)],
+        out_specs=spec,
+        out_shape=out_sd,
+        scratch_shapes=[scratch],
         interpret=interpret,
-    )(cost)
-    return out[:S]
+    )
+    body = functools.partial(
+        _agg_kernel,
+        ks=block_s, p1=float(p1), p2=float(p2), reverse=reverse,
+        acc=acc is not None, axis=axis,
+    )
+    if acc is None:
+        out = pl.pallas_call(body, in_specs=[spec], **kwargs)(cost)
+    else:
+        out = pl.pallas_call(
+            body, in_specs=[spec, spec], input_output_aliases={1: 0}, **kwargs
+        )(cost, acc)
+    if pad_s:
+        out = out[:S] if axis == 0 else out[:, :S]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -122,14 +255,11 @@ def _wta_kernel(agg_ref, best_ref, idx_ref, cm_ref, cp_ref, comp_ref):
     onehot_m = d_iota == (idx[..., None] - 1)
     onehot_p = d_iota == (idx[..., None] + 1)
     far = jnp.abs(d_iota - idx[..., None]) > 1
-    cm = jnp.min(jnp.where(onehot_m, s, _BIG), axis=-1)
-    cp = jnp.min(jnp.where(onehot_p, s, _BIG), axis=-1)
-    comp = jnp.min(jnp.where(far, s, _BIG), axis=-1)
     best_ref[:] = best
     idx_ref[:] = idx
-    cm_ref[:] = cm
-    cp_ref[:] = cp
-    comp_ref[:] = comp
+    cm_ref[:] = jnp.min(jnp.where(onehot_m, s, _BIG), axis=-1)
+    cp_ref[:] = jnp.min(jnp.where(onehot_p, s, _BIG), axis=-1)
+    comp_ref[:] = jnp.min(jnp.where(far, s, _BIG), axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("block_h", "block_w", "interpret"))
@@ -141,7 +271,7 @@ def wta(agg: jax.Array, block_h: int = 8, block_w: int = 128, interpret: bool = 
     nw = pl.cdiv(W, block_w)
     spec2d = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((H, W), jnp.float32)
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         _wta_kernel,
         grid=(nh, nw),
         in_specs=[
@@ -153,4 +283,3 @@ def wta(agg: jax.Array, block_h: int = 8, block_w: int = 128, interpret: bool = 
         out_shape=(f32, jax.ShapeDtypeStruct((H, W), jnp.int32), f32, f32, f32),
         interpret=interpret,
     )(agg)
-    return outs

@@ -151,13 +151,14 @@ def aggregate(cost: jax.Array, p: SGMParams) -> jax.Array:
     pad_d = (-D) % 128
     if pad_d:
         cost = jnp.pad(cost, ((0, 0), (0, 0), (0, pad_d)), constant_values=1e9)
-    cost_w = jnp.moveaxis(cost, 1, 0)
-    kw = dict(p1=p.p1, p2=p.p2, interpret=(impl == "pallas_interpret"))
-    agg = functools.partial(sgm_pallas.aggregate_dir, **kw)
-    s = jnp.moveaxis(agg(cost_w), 0, 1)
-    s = s + jnp.moveaxis(agg(cost_w, reverse=True), 0, 1)
-    s = s + agg(cost)
-    s = s + agg(cost, reverse=True)
+    agg = functools.partial(
+        sgm_pallas.aggregate_dir,
+        p1=p.p1, p2=p.p2, interpret=(impl == "pallas_interpret"),
+    )
+    s = agg(cost, axis=1)
+    s = agg(cost, axis=1, reverse=True, acc=s)
+    s = agg(cost, axis=0, acc=s)
+    s = agg(cost, axis=0, reverse=True, acc=s)
     return s[..., :D] if pad_d else s
 
 
@@ -186,11 +187,11 @@ def _wta(agg: jax.Array, p: SGMParams):
     else:
         from stereovision_tpu.ops import sgm_pallas
 
-        pad_d = (-D) % 128
+        pad_d = (-agg.shape[-1]) % 128
         agg_p = (
             jnp.pad(agg, ((0, 0), (0, 0), (0, pad_d)), constant_values=1e9)
             if pad_d
-            else agg
+            else agg  # already lane-padded by the fused cost path (BIG lanes)
         )
         best, best_idx, cm, cp, competitor = sgm_pallas.wta(
             agg_p, interpret=(impl == "pallas_interpret")
@@ -227,7 +228,8 @@ def _left_right_check(agg: jax.Array, disp: jax.Array, p: SGMParams) -> jax.Arra
     sequential reads of the volume; a broadcasted gather of the same data is
     ~100× slower on TPU.
     """
-    H, W, D = agg.shape
+    H, W = agg.shape[0], agg.shape[1]
+    D = p.num_disparities  # agg may carry BIG-padded lanes beyond D; skip them
     pad = jnp.pad(agg, ((0, 0), (0, D), (0, 0)), constant_values=_BIG)
 
     def body(d, carry):
@@ -268,13 +270,11 @@ def _speckle_suppress(disp: jax.Array, valid: jax.Array, p: SGMParams) -> jax.Ar
     count = jnp.zeros_like(disp)
     for offset in (0.0, 0.5):
         b = jnp.floor(dv / r + offset)
-        per_bin = []
+        c = jnp.zeros_like(disp)
         for bi in range(nbins):
             ind = (b == bi).astype(jnp.float32)
-            per_bin.append(im.box_filter(ind, k) * (k * k))
-        stackc = jnp.stack(per_bin, axis=-1)
-        center_bin = jnp.clip(b, 0, nbins - 1).astype(jnp.int32)
-        c = jnp.take_along_axis(stackc, center_bin[..., None], axis=-1)[..., 0]
+            # center's own bin selects itself: Σ_b box(ind_b)·ind_b — no gather
+            c = c + im.box_filter(ind, k) * (k * k) * ind
         count = jnp.maximum(count, c)
     min_count = min(p.speckle_window_size, k * k) * 0.25
     return valid & (count >= min_count)
@@ -283,6 +283,31 @@ def _speckle_suppress(disp: jax.Array, valid: jax.Array, p: SGMParams) -> jax.Ar
 # ---------------------------------------------------------------------------
 # Public entry points
 # ---------------------------------------------------------------------------
+
+
+def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
+    """Fused Pallas path: census → cost kernel (lane-padded D) → 4 chained
+    directional kernels accumulating into one sum volume. Returns the padded
+    (H, W, Dp) aggregate; lanes ≥ num_disparities carry huge costs."""
+    from stereovision_tpu.ops import sgm_pallas
+
+    cl = im.census_transform(left, p.census_ksize, p.census_wsize)
+    cr = im.census_transform(right, p.census_ksize, p.census_wsize)
+    D = p.num_disparities
+    Dp = D + (-D) % 128
+    n_bits = p.census_ksize * p.census_wsize - 1
+    cost = sgm_pallas.cost_volume(
+        cl, cr, Dp, d_valid=D, min_d=p.min_disparity, max_cost=float(n_bits),
+        interpret=interpret,
+    )
+    agg = functools.partial(
+        sgm_pallas.aggregate_dir, p1=p.p1, p2=p.p2, interpret=interpret
+    )
+    s = agg(cost, axis=1)
+    s = agg(cost, axis=1, reverse=True, acc=s)
+    s = agg(cost, axis=0, acc=s)
+    s = agg(cost, axis=0, reverse=True, acc=s)
+    return s
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -294,8 +319,12 @@ def compute_disparity(left: jax.Array, right: jax.Array, params: SGMParams = SGM
     """
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
-    cost = census_cost_volume(left, right, params)
-    agg = aggregate(cost, params)
+    impl = _resolve_impl(params.impl)
+    if impl == "xla":
+        cost = census_cost_volume(left, right, params)
+        agg = aggregate(cost, params)
+    else:
+        agg = _cost_aggregate_pallas(left, right, params, impl == "pallas_interpret")
     disp, valid = _wta(agg, params)
     if params.lr_max_diff >= 0:
         valid = valid & _left_right_check(agg, disp, params)

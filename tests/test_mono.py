@@ -1,0 +1,131 @@
+"""Mono motion-depth: flow accuracy, RANSAC homography, parallax pipeline."""
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stereovision_tpu.mono import (
+    dense_flow,
+    ransac_homography,
+    estimate_ego_motion,
+    flow_depth_init,
+    flow_depth_step,
+    FlowDepthParams,
+)
+from stereovision_tpu.core import geometry as geom
+
+RNG = np.random.default_rng(17)
+
+
+def textured(h=120, w=160):
+    img = RNG.uniform(0, 255, size=(h, w)).astype(np.float32)
+    return cv2.GaussianBlur(img, (7, 7), 1.5)
+
+
+class TestDenseFlow:
+    def test_pure_translation(self):
+        img = textured()
+        M = np.float32([[1, 0, 3.0], [0, 1, -2.0]])
+        curr = cv2.warpAffine(img, M, (img.shape[1], img.shape[0]))
+        flow = np.asarray(dense_flow(jnp.asarray(img), jnp.asarray(curr)))
+        inner = np.s_[20:-20, 20:-20]
+        assert abs(np.median(flow[inner][..., 0]) - 3.0) < 0.3
+        assert abs(np.median(flow[inner][..., 1]) + 2.0) < 0.3
+
+    def test_zero_motion(self):
+        img = textured()
+        flow = np.asarray(dense_flow(jnp.asarray(img), jnp.asarray(img)))
+        assert np.abs(flow).max() < 0.1
+
+
+class TestRansacHomography:
+    def test_recovers_h_with_outliers(self):
+        H_true = np.array([[1.01, 0.02, 4.0], [-0.015, 0.99, -2.0], [1e-5, -1e-5, 1.0]])
+        src = RNG.uniform(0, 300, size=(200, 2))
+        dst = np.array(geom.apply_homography(jnp.asarray(H_true), jnp.asarray(src)))
+        dst += RNG.normal(0, 0.3, dst.shape)
+        out_idx = RNG.choice(200, 60, replace=False)
+        dst[out_idx] += RNG.uniform(-80, 80, (60, 2))  # 30% outliers
+        H, mask, n = ransac_homography(
+            jnp.asarray(src), jnp.asarray(dst), jax.random.PRNGKey(0)
+        )
+        assert int(n) > 120
+        proj = np.asarray(geom.apply_homography(H, jnp.asarray(src)))
+        inl = np.setdiff1d(np.arange(200), out_idx)
+        err = np.linalg.norm(proj[inl] - dst[inl], axis=-1)
+        assert np.median(err) < 1.0
+
+    def test_matches_cv2_inlier_behavior(self):
+        H_true = np.array([[1.0, 0.01, 2.0], [0.0, 1.0, 1.0], [0.0, 0.0, 1.0]])
+        src = RNG.uniform(0, 300, size=(150, 2))
+        dst = np.array(geom.apply_homography(jnp.asarray(H_true), jnp.asarray(src)))
+        out_idx = RNG.choice(150, 30, replace=False)
+        dst[out_idx] += RNG.uniform(30, 60, (30, 2))
+        H_cv, mask_cv = cv2.findHomography(
+            src.astype(np.float32), dst.astype(np.float32), cv2.RANSAC, 3.0,
+            maxIters=2000, confidence=0.995,
+        )
+        _, mask, n = ransac_homography(jnp.asarray(src), jnp.asarray(dst), jax.random.PRNGKey(1))
+        # same inlier set up to a few boundary points
+        agree = (np.asarray(mask) == mask_cv.ravel().astype(bool)).mean()
+        assert agree > 0.95, agree
+
+
+class TestEgoMotion:
+    def test_global_shift_is_ego(self):
+        h, w = 128, 160
+        flow = np.zeros((h, w, 2), np.float32)
+        flow[..., 0] = 2.5  # pure camera pan
+        valid, expected = estimate_ego_motion(jnp.asarray(flow), jax.random.PRNGKey(0))
+        assert bool(valid)
+        np.testing.assert_allclose(np.asarray(expected)[..., 0], 2.5, atol=0.05)
+
+    def test_object_motion_leaves_residual(self):
+        h, w = 128, 160
+        flow = np.zeros((h, w, 2), np.float32)
+        flow[..., 0] = 1.0
+        flow[40:70, 50:90, 0] = 6.0  # independently moving object
+        valid, expected = estimate_ego_motion(jnp.asarray(flow), jax.random.PRNGKey(0))
+        assert bool(valid)
+        resid = np.abs(flow[..., 0] - np.asarray(expected)[..., 0])
+        assert resid[50:60, 60:80].mean() > 3.0
+        assert resid[:30, :30].mean() < 0.5
+
+
+class TestFlowDepthPipeline:
+    def test_moving_camera_produces_depth(self):
+        img = textured(96, 128)
+        state = flow_depth_init(img.shape)
+        params = FlowDepthParams()
+        t = 0.0
+        # frame 0: prime
+        state, _, has, _ = flow_depth_step(state, jnp.asarray(img), jnp.float32(t), params)
+        assert not bool(has)
+        # frames with global motion + a near object moving differently
+        for i in range(1, 4):
+            M = np.float32([[1, 0, 2.0 * i], [0, 1, 0]])
+            frame = cv2.warpAffine(img, M, (img.shape[1], img.shape[0]))
+            frame[30:60, 40:80] = np.roll(frame[30:60, 40:80], 4 * i, axis=1)
+            t += 0.1
+            state, depth, has, moving = flow_depth_step(
+                state, jnp.asarray(frame), jnp.float32(t), params
+            )
+        assert bool(has)
+        assert bool(moving)
+        d = np.asarray(depth)
+        # near (fast-residual) object → smaller 1/(r+.5) value than background
+        assert d[40:55, 50:75].mean() < d[5:20, 5:30].mean()
+
+    def test_static_scene_no_depth_initially(self):
+        img = textured(96, 128)
+        state = flow_depth_init(img.shape)
+        t = 0.0
+        state, _, has0, _ = flow_depth_step(state, jnp.asarray(img), jnp.float32(t), FlowDepthParams())
+        # static: identical frame. ego-motion valid (identity homography fits
+        # everything) — matches the reference, which treats 0-flow as valid ego
+        state, depth, has1, moving = flow_depth_step(
+            state, jnp.asarray(img), jnp.float32(0.1), FlowDepthParams()
+        )
+        assert not bool(has0)
+        assert bool(has1)

@@ -35,6 +35,44 @@ class TestPallasParity:
         np.testing.assert_allclose(np.asarray(dp), np.asarray(dx), atol=1e-4)
         np.testing.assert_array_equal(np.asarray(vp), np.asarray(vx))
 
+    def test_cost_volume_kernel_matches_xla(self):
+        from stereovision_tpu.core import image as im
+        from stereovision_tpu.ops import sgm_pallas
+
+        left, right = small_pair(h=24, w=140)
+        p = SGMParams(num_disparities=16, impl="xla")
+        ref = np.asarray(census_cost_volume(jnp.asarray(left), jnp.asarray(right), p))
+        cl = im.census_transform(jnp.asarray(left), p.census_ksize, p.census_wsize)
+        cr = im.census_transform(jnp.asarray(right), p.census_ksize, p.census_wsize)
+        n_bits = p.census_ksize * p.census_wsize - 1
+        out = np.asarray(
+            sgm_pallas.cost_volume(
+                cl, cr, 128, d_valid=16, max_cost=float(n_bits), interpret=True
+            )
+        )
+        np.testing.assert_allclose(out[:, :, :16], ref, atol=0)
+        assert np.all(out[:, :, 16:] >= 1e8)
+
+    def test_acc_chaining_matches_sum(self):
+        from stereovision_tpu.ops import sgm_pallas
+
+        cost = jnp.asarray(RNG.uniform(0, 24, size=(17, 33, 128)).astype(np.float32))
+        a1 = sgm_pallas.aggregate_dir(cost, 8.0, 96.0, axis=1, interpret=True)
+        a2 = sgm_pallas.aggregate_dir(cost, 8.0, 96.0, axis=0, interpret=True)
+        chained = sgm_pallas.aggregate_dir(cost, 8.0, 96.0, axis=0, acc=a1, interpret=True)
+        np.testing.assert_allclose(np.asarray(chained), np.asarray(a1 + a2), atol=1e-4)
+
+    def test_axis1_matches_transposed_axis0(self):
+        from stereovision_tpu.ops import sgm_pallas
+
+        cost = jnp.asarray(RNG.uniform(0, 24, size=(17, 33, 128)).astype(np.float32))
+        ax1 = sgm_pallas.aggregate_dir(cost, 8.0, 96.0, axis=1, interpret=True)
+        ax0t = jnp.swapaxes(
+            sgm_pallas.aggregate_dir(jnp.swapaxes(cost, 0, 1), 8.0, 96.0, axis=0, interpret=True),
+            0, 1,
+        )
+        np.testing.assert_allclose(np.asarray(ax1), np.asarray(ax0t), atol=1e-4)
+
     def test_reverse_direction(self):
         """Reverse aggregation == flipping, aggregating forward, flipping back."""
         from stereovision_tpu.ops import sgm_pallas
