@@ -177,7 +177,7 @@ def aggregate_dir(
     reverse: bool = False,
     acc: jax.Array | None = None,
     block_s: int = 8,
-    block_x: int = 256,
+    block_x: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
     """SGM path aggregation along ``axis`` (0 or 1) of cost (H, W, D).

@@ -1,0 +1,141 @@
+"""End-to-end app-layer test: synthetic captures → calibrate CLI → depth CLI.
+
+This is BASELINE config 3 (full stereo calibration + rectified disparity) as
+an integration test, exercising the same flow a reference user runs via
+2camers.py → stereo_calibration.py → depth_map.py.
+"""
+
+import numpy as np
+import cv2
+import imageio.v2 as iio
+import jax.numpy as jnp
+import pytest
+
+from stereovision_tpu.core import geometry as geom
+
+BOARD = (9, 6)
+SQ = 2.5
+W, H = 320, 240
+
+
+def render_board_view(K, rvec, tvec, rng):
+    """Render a chessboard via homography warp (distortion-free cameras)."""
+    px = 30
+    squares = (BOARD[0] + 1, BOARD[1] + 1)
+    pattern = np.zeros((squares[1] * px, squares[0] * px), np.uint8)
+    for yy in range(squares[1]):
+        for xx in range(squares[0]):
+            if (xx + yy) % 2 == 0:
+                pattern[yy * px:(yy + 1) * px, xx * px:(xx + 1) * px] = 255
+    bp = np.array([[0, 0], [(BOARD[0] - 1) * SQ, 0],
+                   [(BOARD[0] - 1) * SQ, (BOARD[1] - 1) * SQ], [0, (BOARD[1] - 1) * SQ]])
+    pp = np.array([[px, px], [BOARD[0] * px, px],
+                   [BOARD[0] * px, BOARD[1] * px], [px, BOARD[1] * px]], np.float64)
+    proj = np.asarray(geom.project_points(
+        jnp.asarray(np.concatenate([bp, np.zeros((4, 1))], 1)),
+        jnp.asarray(rvec), jnp.asarray(tvec), jnp.asarray(K), jnp.zeros(5)))
+    if proj[:, 0].min() < 5 or proj[:, 0].max() > W - 5 or proj[:, 1].min() < 5 or proj[:, 1].max() > H - 5:
+        return None
+    Hm, _ = cv2.findHomography(pp, proj)
+    img = cv2.warpPerspective(pattern, Hm, (W, H), borderValue=110)
+    img = img.astype(np.float32) + rng.normal(0, 1.0, img.shape)
+    return cv2.GaussianBlur(np.clip(img, 0, 255).astype(np.uint8), (3, 3), 0.7)
+
+
+@pytest.fixture(scope="module")
+def synthetic_captures(tmp_path_factory):
+    root = tmp_path_factory.mktemp("captures")
+    rng = np.random.default_rng(8)
+    K1 = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]])
+    K2 = np.array([[305.0, 0, 158], [0, 304.0, 122], [0, 0, 1]])
+    R = np.asarray(geom.rodrigues(jnp.asarray([0.005, 0.02, -0.003])))
+    T = np.array([-5.0, 0.02, 0.05])
+    r_rel = np.asarray(geom.inverse_rodrigues(jnp.asarray(R)))
+    n = 0
+    while n < 12:
+        rvec = rng.uniform(-0.2, 0.2, 3)
+        tvec = np.array([rng.uniform(-2, 2) - 10, rng.uniform(-1.5, 1.5) - 6,
+                         rng.uniform(28, 40)])
+        li = render_board_view(K1, rvec, tvec, rng)
+        rr_, tr_ = geom.se3_compose(jnp.asarray(rvec), jnp.asarray(tvec),
+                                    jnp.asarray(r_rel), jnp.asarray(T))
+        ri = render_board_view(K2, np.asarray(rr_), np.asarray(tr_), rng)
+        if li is None or ri is None:
+            continue
+        iio.imwrite(root / f"left_{n:03d}.jpg", li)
+        iio.imwrite(root / f"right_{n:03d}.jpg", ri)
+        n += 1
+    return root, (K1, K2, R, T)
+
+
+class TestCalibrateCLI:
+    def test_universal_then_depth(self, synthetic_captures, tmp_path):
+        from stereovision_tpu.apps import calibrate as cal_app
+        from stereovision_tpu.apps import depth as depth_app
+        from stereovision_tpu.io.store import CalibrationStore
+
+        captures, (K1, K2, R, T) = synthetic_captures
+        out = tmp_path / "output"
+        rc = cal_app.main([
+            "universal", "--images", str(captures), "--board", "9x6",
+            "--square-cm", str(SQ), "--out", str(out), "--reference-pkl",
+        ])
+        assert rc == 0
+        store = CalibrationStore(out)
+        cal = store.load("stereo_calibration_data")
+        assert cal["ret"] < 1.0, cal["ret"]
+        baseline = float(np.linalg.norm(cal["T"]))
+        assert abs(baseline - np.linalg.norm(T)) / np.linalg.norm(T) < 0.05
+        # reference pkl interchange round-trip
+        pkl = store.load_reference_pkl(out / "stereo_calibration_data.pkl")
+        assert set(pkl) >= {"R", "T", "Q", "mtx_left", "img_size"}
+        np.testing.assert_allclose(pkl["R"], cal["R"])
+        # txt sidecars written (stereo_calibration.py:305-309 parity)
+        assert (out / "rotation_matrix.txt").exists()
+
+        # depth CLI over the same captures (boards are flat targets — just
+        # verify the pipeline runs and emits outputs)
+        depth_out = tmp_path / "depth"
+        rc = depth_app.main([
+            "--calib", str(out), "--images", str(captures), "--out", str(depth_out),
+            "--num-disparities", "48", "--save-npz",
+        ])
+        assert rc == 0
+        outputs = sorted(depth_out.glob("depth_*.png"))
+        assert len(outputs) == 12
+        z = np.load(sorted(depth_out.glob("depth_*.npz"))[0])
+        assert z["disparity"].shape == (H, W)
+
+
+class TestStoreRoundtrip:
+    def test_npz_schema_and_versioning(self, tmp_path):
+        from stereovision_tpu.io.store import CalibrationStore
+
+        store = CalibrationStore(tmp_path)
+        data = {"camera_matrix": np.eye(3), "distortion_coefficients": np.zeros(5),
+                "reprojection_error": 0.3}
+        store.save("calibration_data_left", data)
+        back = store.load("calibration_data_left")
+        np.testing.assert_allclose(back["camera_matrix"], np.eye(3))
+        assert back["_length_unit"] == "cm"
+        assert store.exists("calibration_data_left")
+        assert not store.exists("nope")
+
+
+class TestMonoApps:
+    def test_mono_motion_cli(self, tmp_path):
+        from stereovision_tpu.apps import mono_motion
+
+        rng = np.random.default_rng(1)
+        frames = tmp_path / "frames"
+        frames.mkdir()
+        base = cv2.GaussianBlur(
+            rng.uniform(0, 255, (96, 140)).astype(np.float32), (7, 7), 1.5)
+        for i in range(4):
+            M = np.float32([[1, 0, 2.0 * i], [0, 1, 0]])
+            f = cv2.warpAffine(base, M, (128, 96))
+            iio.imwrite(frames / f"f_{i:03d}.jpg", f.astype(np.uint8))
+        out = tmp_path / "out"
+        rc = mono_motion.main(["--images", str(frames), "--glob", "*.jpg", "--out", str(out)])
+        assert rc == 0
+        assert len(list(out.glob("motion_*.png"))) >= 1
