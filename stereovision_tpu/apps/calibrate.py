@@ -142,8 +142,41 @@ def run_stereo(args, universal=False):
     if args.reference_pkl:
         store.save_reference_pkl(Path(args.out) / "stereo_calibration_data.pkl", full)
     store.export_txt_sidecars("stereo_calibration_data")
+    _write_rectification_check(args, full, size, scanlines=universal)
     print(f"saved → {args.out}/stereo_calibration_data.npz")
     return 0
+
+
+def _write_rectification_check(args, cal, size, scanlines: bool):
+    """Side-by-side rectified first pair — the epipolar verification image
+    (stereo_calibration.py:316-338); the universal variant overlays green
+    scanlines every 50 px (universal_stereo_calibration.py:350-356)."""
+    import imageio.v2 as iio
+    import jax.numpy as jnp
+
+    from stereovision_tpu.core import geometry as geom
+    from stereovision_tpu.core import image as im
+    from stereovision_tpu.io.frames import PairedImageSource, _imread_gray
+
+    pairs = PairedImageSource(args.images).pairs()
+    if not pairs:
+        return
+    lp, rp = pairs[0]
+    gl, gr = _imread_gray(lp), _imread_gray(rp)
+    mx1, my1 = geom.init_undistort_rectify_map(
+        jnp.asarray(cal["mtx_left"]), jnp.asarray(np.ravel(cal["dist_left"])),
+        jnp.asarray(cal["R1"]), jnp.asarray(cal["P1"]), size)
+    mx2, my2 = geom.init_undistort_rectify_map(
+        jnp.asarray(cal["mtx_right"]), jnp.asarray(np.ravel(cal["dist_right"])),
+        jnp.asarray(cal["R2"]), jnp.asarray(cal["P2"]), size)
+    rl = np.asarray(im.remap(jnp.asarray(gl), mx1, my1))
+    rr = np.asarray(im.remap(jnp.asarray(gr), mx2, my2))
+    side = np.concatenate([rl, rr], axis=1)
+    rgb = np.stack([side] * 3, axis=-1)
+    if scanlines:
+        rgb[::50, :, :] = [0, 255, 0]
+    iio.imwrite(Path(args.out) / "rectification_check.png",
+                np.clip(rgb, 0, 255).astype(np.uint8))
 
 
 def main(argv=None):

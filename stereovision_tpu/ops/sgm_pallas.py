@@ -29,6 +29,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e9
+# int8-representable "worse than any census cost" (census windows are ≤ 63
+# bits in practice; real costs stay strictly below this)
+PAD_COST = 120.0
 
 
 # ---------------------------------------------------------------------------
@@ -37,10 +40,13 @@ _BIG = 1e9
 
 
 def _cost_kernel(
-    cl_ref, crr_ref, out_ref, *, bw: int, d: int, d_valid: int, w: int, min_d: int, max_cost: float
+    cl_ref, crr_ref, out_ref, buf_ref, *, bw: int, d: int, d_valid: int, w: int, min_d: int, max_cost: float
 ):
     # cl_ref/crr_ref layout: (nw, BH, W) — words leading so W sits in lanes
     # (an (H, W, nw=2) layout would pad the 2-element lane dim to 128 in VMEM).
+    # Columns accumulate in an f32 VMEM buffer (narrow-dtype stores at
+    # arbitrary sublane offsets are not expressible); one full-block store at
+    # the end casts to the output dtype.
     j = pl.program_id(1)
     nw = cl_ref.shape[0]
     bh = cl_ref.shape[1]
@@ -58,18 +64,20 @@ def _cost_kernel(
             cost = cost + jax.lax.population_count(clv ^ crv).astype(jnp.float32)
         # mask disparities that reach left of the image: x - min_d - d < 0
         cost = jnp.where(d_iota > x - min_d, max_cost, cost)
-        # lane-padding disparities beyond the requested range never win
+        # lane-padding disparities beyond the requested range: census costs are
+        # strictly below PAD_COST, so padded lanes can never win an argmin
         if d_valid < d:
-            cost = jnp.where(d_iota >= d_valid, _BIG, cost)
-        out_ref[:, pl.ds(xx, 1), :] = cost[:, None, :]
+            cost = jnp.where(d_iota >= d_valid, PAD_COST, cost)
+        buf_ref[:, pl.ds(xx, 1), :] = cost[:, None, :]
         return 0
 
     jax.lax.fori_loop(0, bw, col, 0)
+    out_ref[:] = buf_ref[:].astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("d", "d_valid", "min_d", "max_cost", "block_h", "block_w", "interpret"),
+    static_argnames=("d", "d_valid", "min_d", "max_cost", "block_h", "block_w", "out_dtype", "interpret"),
 )
 def cost_volume(
     census_l: jax.Array,
@@ -80,13 +88,15 @@ def cost_volume(
     max_cost: float = 48.0,
     block_h: int = 8,
     block_w: int = 128,
+    out_dtype=jnp.int8,
     interpret: bool = False,
 ) -> jax.Array:
-    """census pair (H, W, nw int32) → (H, W, d) float32 Hamming cost volume.
+    """census pair (H, W, nw int32) → (H, W, d) Hamming cost volume.
 
-    ``d`` must be a multiple of 128 (lane padding); lanes ≥ ``d_valid`` are set
-    to a huge cost so downstream argmins ignore them. Disparity i encodes
-    min_d + i.
+    Costs are small integers, stored int8 by default (¼ the HBM traffic of the
+    4 aggregation reads). ``d`` must be a multiple of 128 (lane padding); lanes
+    ≥ ``d_valid`` carry PAD_COST (> any real census cost) so downstream argmins
+    ignore them. Disparity i encodes min_d + i.
     """
     H, W, nw = census_l.shape
     if d_valid is None:
@@ -113,7 +123,8 @@ def cost_volume(
         out_specs=pl.BlockSpec(
             (block_h, block_w, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((H, W, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((H, W, d), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_h, block_w, d), jnp.float32)],
         interpret=interpret,
     )(cl, crr)
 
@@ -132,10 +143,13 @@ def _sgm_step(prev, c, p1, p2):
 
 
 def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis):
+    # Narrow-dtype (int8/int16) stores at arbitrary sublane offsets are not
+    # expressible on TPU, so columns go into the f32 lbuf scratch and the block
+    # is stored once (adding the acc block, if any) at the end.
     if acc:
-        cost_ref, acc_ref, out_ref, lprev_ref = refs
+        cost_ref, acc_ref, out_ref, lbuf_ref, lprev_ref = refs
     else:
-        cost_ref, out_ref, lprev_ref = refs
+        cost_ref, out_ref, lbuf_ref, lprev_ref = refs
         acc_ref = None
     j = pl.program_id(1)
 
@@ -152,22 +166,23 @@ def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis):
 
     def col(it, _):
         s = (ks - 1 - it) if reverse else it
-        c = read(cost_ref, s)  # (TX, D)
+        c = read(cost_ref, s).astype(jnp.float32)  # (TX, D)
         first = jnp.logical_and(j == 0, it == 0)
         l = jnp.where(first, c, _sgm_step(lprev_ref[:], c, p1, p2))
-        if acc_ref is not None:
-            write(out_ref, s, read(acc_ref, s) + l)
-        else:
-            write(out_ref, s, l)
+        write(lbuf_ref, s, l)
         lprev_ref[:] = l
         return 0
 
     jax.lax.fori_loop(0, ks, col, 0)
+    if acc:
+        out_ref[:] = (lbuf_ref[:] + acc_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+    else:
+        out_ref[:] = lbuf_ref[:].astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p1", "p2", "axis", "reverse", "block_s", "block_x", "interpret"),
+    static_argnames=("p1", "p2", "axis", "reverse", "block_s", "block_x", "out_dtype", "interpret"),
 )
 def aggregate_dir(
     cost: jax.Array,
@@ -178,9 +193,14 @@ def aggregate_dir(
     acc: jax.Array | None = None,
     block_s: int = 8,
     block_x: int = 128,
+    out_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
     """SGM path aggregation along ``axis`` (0 or 1) of cost (H, W, D).
+
+    Computes in float32; stores in ``out_dtype`` (default: acc's dtype, else
+    int16 for integer costs / cost dtype otherwise — with integer P1/P2 the
+    path costs are exact small integers, so int16 halves volume traffic).
 
     ``reverse`` aggregates back-to-front in-kernel (no flips). If ``acc`` is
     given (same shape), the path costs are added onto it in place (the running
@@ -190,6 +210,13 @@ def aggregate_dir(
     128.
     """
     H, W, D = cost.shape
+    if out_dtype is None:
+        if acc is not None:
+            out_dtype = acc.dtype
+        elif jnp.issubdtype(cost.dtype, jnp.integer):
+            out_dtype = jnp.int16
+        else:
+            out_dtype = cost.dtype
     S = cost.shape[axis]
     X = cost.shape[1 - axis]
     pad_s = (-S) % block_s
@@ -216,13 +243,14 @@ def aggregate_dir(
             index_map = lambda i, j: (i, j, 0)  # noqa: E731
     scratch = pltpu.VMEM((block_x, D), jnp.float32)
 
-    out_sd = jax.ShapeDtypeStruct(cost.shape, cost.dtype)
+    out_sd = jax.ShapeDtypeStruct(cost.shape, out_dtype)
     spec = pl.BlockSpec(blk, index_map, memory_space=pltpu.VMEM)
+    lbuf = pltpu.VMEM(blk, jnp.float32)
     kwargs = dict(
         grid=(nx, ns),
         out_specs=spec,
         out_shape=out_sd,
-        scratch_shapes=[scratch],
+        scratch_shapes=[lbuf, scratch],
         interpret=interpret,
     )
     body = functools.partial(
@@ -242,12 +270,76 @@ def aggregate_dir(
 
 
 # ---------------------------------------------------------------------------
+# Right-view disparity from the left aggregated volume (disp12 check)
+# ---------------------------------------------------------------------------
+
+
+def _rdisp_kernel(aggt_ref, out_ref, best_ref, idx_ref, *, bd: int, d_valid: int, w: int):
+    # aggt_ref block: (BD, BH, W) of the (D, H, W)-transposed volume; for
+    # right pixel u the cost at disparity d is S[y, u+d, d] = aggt[d, y, u+d]:
+    # take the d-plane (outer-dim slice — always legal), rotate lanes by −d,
+    # mask the wrap. The (best, idx) carry lives in VMEM scratch across the
+    # sequential D-tile grid dimension.
+    j = pl.program_id(1)
+    bh = aggt_ref.shape[1]
+    u_iota = jax.lax.broadcasted_iota(jnp.int32, (bh, aggt_ref.shape[2]), 1)
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, _BIG)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    def body(dd, _):
+        d = j * bd + dd
+        row = aggt_ref[pl.ds(dd, 1)][0].astype(jnp.float32)  # (BH, W)
+        shifted = pltpu.roll(row, -d, 1)
+        valid = ((u_iota + d) < w) & (d < d_valid)
+        shifted = jnp.where(valid, shifted, _BIG)
+        take = shifted < best_ref[:]
+        best_ref[:] = jnp.where(take, shifted, best_ref[:])
+        idx_ref[:] = jnp.where(take, d, idx_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, bd, body, 0)
+    out_ref[:] = idx_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("d_valid", "block_h", "block_d", "interpret"))
+def right_disparity(
+    agg: jax.Array, d_valid: int, block_h: int = 8, block_d: int = 32, interpret: bool = False
+):
+    """(H, W, D) aggregated volume → (H, W) right-view disparity indices:
+    dR(u) = argmin_{d<d_valid} agg[y, u+d, d] (cv2's disp12 companion view,
+    computed from the same volume — no second matching pass)."""
+    H, W, D = agg.shape
+    aggt = jnp.transpose(agg, (2, 0, 1))  # (D, H, W)
+    nh = pl.cdiv(H, block_h)
+    nd = pl.cdiv(D, block_d)
+    return pl.pallas_call(
+        functools.partial(_rdisp_kernel, bd=block_d, d_valid=d_valid, w=W),
+        grid=(nh, nd),
+        in_specs=[
+            pl.BlockSpec(
+                (block_d, block_h, W), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec((block_h, W), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((block_h, W), jnp.float32),
+            pltpu.VMEM((block_h, W), jnp.int32),
+        ],
+        interpret=interpret,
+    )(aggt)
+
+
+# ---------------------------------------------------------------------------
 # Fused winner-take-all
 # ---------------------------------------------------------------------------
 
 
 def _wta_kernel(agg_ref, best_ref, idx_ref, cm_ref, cp_ref, comp_ref):
-    s = agg_ref[:]  # (BH, BW, D)
+    s = agg_ref[:].astype(jnp.float32)  # (BH, BW, D)
     d_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     best = jnp.min(s, axis=-1)
     # argmin via masked-iota min (ties → smallest d, matching jnp.argmin)

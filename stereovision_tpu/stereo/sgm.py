@@ -224,22 +224,30 @@ def _left_right_check(agg: jax.Array, disp: jax.Array, p: SGMParams) -> jax.Arra
     (dR(u) = argmin_d S[y, u+d, d]) and require |dL(x) − dR(x − dL)| ≤ maxDiff.
     This is cv2's disp12MaxDiff without a second matching pass.
 
-    The diagonal traversal is a D-step loop of contiguous dynamic slices —
-    sequential reads of the volume; a broadcasted gather of the same data is
-    ~100× slower on TPU.
+    The diagonal traversal reads the volume once: a Pallas kernel (sublane
+    slice + lane rotate per d) on TPU, a D-step dynamic-slice loop on CPU —
+    a broadcasted gather of the same data is ~100× slower on TPU.
     """
     H, W = agg.shape[0], agg.shape[1]
-    D = p.num_disparities  # agg may carry BIG-padded lanes beyond D; skip them
-    pad = jnp.pad(agg, ((0, 0), (0, D), (0, 0)), constant_values=_BIG)
+    D = p.num_disparities  # agg may carry padded lanes beyond D; skip them
+    impl = _resolve_impl(p.impl)
+    if impl == "xla":
+        pad = jnp.pad(agg, ((0, 0), (0, D), (0, 0)), constant_values=_BIG)
 
-    def body(d, carry):
-        best, idx = carry
-        sl = jax.lax.dynamic_slice(pad, (0, d, d), (H, W, 1))[..., 0]
-        take = sl < best
-        return jnp.where(take, sl, best), jnp.where(take, d, idx)
+        def body(d, carry):
+            best, idx = carry
+            sl = jax.lax.dynamic_slice(pad, (0, d, d), (H, W, 1))[..., 0]
+            take = sl < best
+            return jnp.where(take, sl, best), jnp.where(take, d, idx)
 
-    init = (jnp.full((H, W), _BIG, agg.dtype), jnp.zeros((H, W), jnp.int32))
-    _, disp_r_idx = jax.lax.fori_loop(0, D, body, init)
+        init = (jnp.full((H, W), _BIG, agg.dtype), jnp.zeros((H, W), jnp.int32))
+        _, disp_r_idx = jax.lax.fori_loop(0, D, body, init)
+    else:
+        from stereovision_tpu.ops import sgm_pallas
+
+        disp_r_idx = sgm_pallas.right_disparity(
+            agg, D, interpret=(impl == "pallas_interpret")
+        )
     disp_r = disp_r_idx.astype(jnp.float32) + p.min_disparity  # (H, W), at right pixels
     # Look up dR at the matching right pixel u = x − round(dL)
     x = jnp.arange(W)

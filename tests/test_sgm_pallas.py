@@ -51,7 +51,8 @@ class TestPallasParity:
             )
         )
         np.testing.assert_allclose(out[:, :, :16], ref, atol=0)
-        assert np.all(out[:, :, 16:] >= 1e8)
+        # pad lanes carry PAD_COST — above every real census cost
+        assert np.all(out[:, :, 16:] > ref.max())
 
     def test_acc_chaining_matches_sum(self):
         from stereovision_tpu.ops import sgm_pallas
