@@ -143,15 +143,17 @@ def _sgm_step(prev, c, p1, p2):
 
 
 def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis):
-    # Narrow-dtype (int8/int16) stores at arbitrary sublane offsets are not
-    # expressible on TPU, so columns go into the f32 lbuf scratch and the block
-    # is stored once (adding the acc block, if any) at the end.
+    # Narrow-dtype (int8/int16) loads/stores at arbitrary sublane offsets are
+    # not expressible on TPU: the cost block is staged once into the f32 cbuf
+    # scratch, columns are written to the f32 lbuf scratch, and the block is
+    # stored once (adding the acc block, if any) at the end.
     if acc:
-        cost_ref, acc_ref, out_ref, lbuf_ref, lprev_ref = refs
+        cost_ref, acc_ref, out_ref, cbuf_ref, lbuf_ref, lprev_ref = refs
     else:
-        cost_ref, out_ref, lbuf_ref, lprev_ref = refs
+        cost_ref, out_ref, cbuf_ref, lbuf_ref, lprev_ref = refs
         acc_ref = None
     j = pl.program_id(1)
+    cbuf_ref[:] = cost_ref[:].astype(jnp.float32)
 
     def read(ref, s):
         if axis == 0:
@@ -166,7 +168,7 @@ def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis):
 
     def col(it, _):
         s = (ks - 1 - it) if reverse else it
-        c = read(cost_ref, s).astype(jnp.float32)  # (TX, D)
+        c = read(cbuf_ref, s)  # (TX, D)
         first = jnp.logical_and(j == 0, it == 0)
         l = jnp.where(first, c, _sgm_step(lprev_ref[:], c, p1, p2))
         write(lbuf_ref, s, l)
@@ -245,12 +247,13 @@ def aggregate_dir(
 
     out_sd = jax.ShapeDtypeStruct(cost.shape, out_dtype)
     spec = pl.BlockSpec(blk, index_map, memory_space=pltpu.VMEM)
+    cbuf = pltpu.VMEM(blk, jnp.float32)
     lbuf = pltpu.VMEM(blk, jnp.float32)
     kwargs = dict(
         grid=(nx, ns),
         out_specs=spec,
         out_shape=out_sd,
-        scratch_shapes=[lbuf, scratch],
+        scratch_shapes=[cbuf, lbuf, scratch],
         interpret=interpret,
     )
     body = functools.partial(
