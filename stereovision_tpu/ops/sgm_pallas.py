@@ -52,26 +52,31 @@ def _cost_kernel(
     bh = cl_ref.shape[1]
     d_iota = jax.lax.broadcasted_iota(jnp.int32, (bh, d), 1)
 
-    def col(xx, _):
-        x = j * bw + xx
-        # cr_rev[w-1-x+min_d : +D] == cr[x-min_d-d] for d ascending
-        start = w - 1 - x + min_d
+    # Hoist the dynamic rotates out of the column loop: one rotate per block
+    # aligns the whole strip, after which every column is a *static* slice.
+    # Column x ∈ [x0, x0+bw) needs cr_rev[start(x) : +D] with
+    # start(x) = w−1−x+min_d decreasing by 1 per column; rotating cr_rev by
+    # −(start(x0) − (bw−1)) puts all needed windows at static offsets
+    # (bw−1−xx … +D). Same for cl: one rotate by −x0.
+    x0 = j * bw
+    base = w - 1 - x0 + min_d - (bw - 1)
+    cls = [pltpu.roll(cl_ref[word], -x0, 1) for word in range(nw)]
+    crs = [pltpu.roll(crr_ref[word], -base, 1) for word in range(nw)]
+
+    for xx in range(bw):  # unrolled: static slice offsets
         cost = jnp.zeros((bh, d), jnp.float32)
         for word in range(nw):
-            # lane-dim slices must be 128-aligned → rotate instead of slice
-            clv = pltpu.roll(cl_ref[word], -x, 1)[:, :1]         # (BH, 1)
-            crv = pltpu.roll(crr_ref[word], -start, 1)[:, :d]    # (BH, D)
+            clv = jax.lax.slice_in_dim(cls[word], xx, xx + 1, axis=1)
+            crv = jax.lax.slice_in_dim(crs[word], bw - 1 - xx, bw - 1 - xx + d, axis=1)
             cost = cost + jax.lax.population_count(clv ^ crv).astype(jnp.float32)
         # mask disparities that reach left of the image: x - min_d - d < 0
-        cost = jnp.where(d_iota > x - min_d, max_cost, cost)
+        cost = jnp.where(d_iota > (x0 + xx) - min_d, max_cost, cost)
         # lane-padding disparities beyond the requested range: census costs are
         # strictly below PAD_COST, so padded lanes can never win an argmin
         if d_valid < d:
             cost = jnp.where(d_iota >= d_valid, PAD_COST, cost)
-        buf_ref[:, pl.ds(xx, 1), :] = cost[:, None, :]
-        return 0
+        buf_ref[:, xx, :] = cost
 
-    jax.lax.fori_loop(0, bw, col, 0)
     out_ref[:] = buf_ref[:].astype(out_ref.dtype)
 
 
@@ -101,11 +106,14 @@ def cost_volume(
     H, W, nw = census_l.shape
     if d_valid is None:
         d_valid = d
-    pad_r = d + max(min_d, 0)
+    # widths must cover the static strip windows: cl columns up to block_w−1,
+    # cr windows up to (block_w−1) + d (plus the usual start ≤ W−1+min_d span)
+    wl = max(W, block_w)
+    wr = max(W + d + max(min_d, 0), block_w + d)
     cl = jnp.moveaxis(census_l, -1, 0)                     # (nw, H, W)
     crr = jnp.moveaxis(census_r[:, ::-1, :], -1, 0)
-    # pad so every slice start (max W-1+min_d) + d stays in bounds
-    crr = jnp.pad(crr, ((0, 0), (0, 0), (0, pad_r)))
+    cl = jnp.pad(cl, ((0, 0), (0, 0), (0, wl - W)))
+    crr = jnp.pad(crr, ((0, 0), (0, 0), (0, wr - W)))
     nh = pl.cdiv(H, block_h)
     nwb = pl.cdiv(W, block_w)
     return pl.pallas_call(
@@ -115,9 +123,9 @@ def cost_volume(
         ),
         grid=(nh, nwb),
         in_specs=[
-            pl.BlockSpec((nw, block_h, W), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nw, block_h, wl), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (nw, block_h, W + pad_r), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+                (nw, block_h, wr), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -142,16 +150,21 @@ def _sgm_step(prev, c, p1, p2):
     return c + best - min_prev
 
 
-def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis):
+def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis, wta_out):
     # Narrow-dtype (int8/int16) loads/stores at arbitrary sublane offsets are
     # not expressible on TPU: the cost block is staged once into the f32 cbuf
     # scratch, columns are written to the f32 lbuf scratch, and the block is
-    # stored once (adding the acc block, if any) at the end.
-    if acc:
-        cost_ref, acc_ref, out_ref, cbuf_ref, lbuf_ref, lprev_ref = refs
-    else:
-        cost_ref, out_ref, cbuf_ref, lbuf_ref, lprev_ref = refs
-        acc_ref = None
+    # stored once (adding the acc block, if any) at the end. With ``wta_out``
+    # the kernel also emits per-pixel winner statistics from the final summed
+    # block — the volume never has to be re-read by a separate WTA pass.
+    refs = list(refs)
+    cost_ref = refs.pop(0)
+    acc_ref = refs.pop(0) if acc else None
+    out_ref = refs.pop(0)
+    if wta_out:
+        best_ref, idx_ref, cm_ref, cp_ref, comp_ref = refs[:5]
+        refs = refs[5:]
+    cbuf_ref, lbuf_ref, lprev_ref = refs
     j = pl.program_id(1)
     cbuf_ref[:] = cost_ref[:].astype(jnp.float32)
 
@@ -177,9 +190,24 @@ def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis):
 
     jax.lax.fori_loop(0, ks, col, 0)
     if acc:
-        out_ref[:] = (lbuf_ref[:] + acc_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+        final = lbuf_ref[:] + acc_ref[:].astype(jnp.float32)
     else:
-        out_ref[:] = lbuf_ref[:].astype(out_ref.dtype)
+        final = lbuf_ref[:]
+    out_ref[:] = final.astype(out_ref.dtype)
+    if wta_out:
+        s = final
+        d_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        best = jnp.min(s, axis=-1)
+        idx = jnp.min(
+            jnp.where(s == best[..., None], d_iota, jnp.int32(1 << 30)), axis=-1
+        )
+        best_ref[:] = best
+        idx_ref[:] = idx
+        cm_ref[:] = jnp.min(jnp.where(d_iota == idx[..., None] - 1, s, _BIG), axis=-1)
+        cp_ref[:] = jnp.min(jnp.where(d_iota == idx[..., None] + 1, s, _BIG), axis=-1)
+        comp_ref[:] = jnp.min(
+            jnp.where(jnp.abs(d_iota - idx[..., None]) > 1, s, _BIG), axis=-1
+        )
 
 
 @functools.partial(
