@@ -41,7 +41,9 @@ def bench_tpu(left_np, right_np):
 
     from stereovision_tpu.stereo import SGMParams, compute_disparity
 
-    params = SGMParams(num_disparities=D)
+    # the production engine: hierarchical coarse-to-fine over the reference's
+    # full 320-disparity range (full-search mode: SGMParams(mode="full"))
+    params = SGMParams(num_disparities=D, mode="hier")
     left = jnp.stack([jnp.asarray(left_np)] * BATCH)
     right = jnp.stack([jnp.asarray(right_np)] * BATCH)
     # lax.map keeps one frame's cost volumes live at a time (vmap would

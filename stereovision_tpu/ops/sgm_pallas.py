@@ -107,9 +107,10 @@ def cost_volume(
     if d_valid is None:
         d_valid = d
     # widths must cover the static strip windows: cl columns up to block_w−1,
-    # cr windows up to (block_w−1) + d (plus the usual start ≤ W−1+min_d span)
-    wl = max(W, block_w)
-    wr = max(W + d + max(min_d, 0), block_w + d)
+    # cr windows up to (block_w−1) + d (plus the usual start ≤ W−1+min_d span);
+    # rounded up to lane multiples (dynamic rotates need 128-aligned shapes)
+    wl = -(-max(W, block_w) // 128) * 128
+    wr = -(-max(W + d + max(min_d, 0), block_w + d) // 128) * 128
     cl = jnp.moveaxis(census_l, -1, 0)                     # (nw, H, W)
     crr = jnp.moveaxis(census_r[:, ::-1, :], -1, 0)
     cl = jnp.pad(cl, ((0, 0), (0, 0), (0, wl - W)))
@@ -151,12 +152,13 @@ def _sgm_step(prev, c, p1, p2):
 
 
 def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis, wta_out):
-    # Narrow-dtype (int8/int16) loads/stores at arbitrary sublane offsets are
-    # not expressible on TPU: the cost block is staged once into the f32 cbuf
-    # scratch, columns are written to the f32 lbuf scratch, and the block is
-    # stored once (adding the acc block, if any) at the end. With ``wta_out``
-    # the kernel also emits per-pixel winner statistics from the final summed
-    # block — the volume never has to be re-read by a separate WTA pass.
+    # axis 0: the scan axis is the blocks' outer dim — dynamic loads/stores at
+    # any dtype are legal, so refs are accessed directly. axis 1: the scan axis
+    # is the sublane dim, where narrow-dtype (int8/int16) accesses at arbitrary
+    # offsets are not expressible — the cost block is staged into the f32 cbuf
+    # scratch and columns collect in the f32 lbuf scratch, stored once at the
+    # end. With ``wta_out`` the kernel also emits per-pixel winner statistics
+    # from the final summed block — no separate WTA read of the volume.
     refs = list(refs)
     cost_ref = refs.pop(0)
     acc_ref = refs.pop(0) if acc else None
@@ -164,9 +166,14 @@ def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis, wta_out):
     if wta_out:
         best_ref, idx_ref, cm_ref, cp_ref, comp_ref = refs[:5]
         refs = refs[5:]
-    cbuf_ref, lbuf_ref, lprev_ref = refs
+    if axis == 1:
+        cbuf_ref, lbuf_ref, lprev_ref = refs
+    else:
+        (lprev_ref,) = refs
+        cbuf_ref = lbuf_ref = None
     j = pl.program_id(1)
-    cbuf_ref[:] = cost_ref[:].astype(jnp.float32)
+    if axis == 1:
+        cbuf_ref[:] = cost_ref[:].astype(jnp.float32)
 
     def read(ref, s):
         if axis == 0:
@@ -181,21 +188,28 @@ def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis, wta_out):
 
     def col(it, _):
         s = (ks - 1 - it) if reverse else it
-        c = read(cbuf_ref, s)  # (TX, D)
+        src = cbuf_ref if axis == 1 else cost_ref
+        c = read(src, s).astype(jnp.float32)  # (TX, D)
         first = jnp.logical_and(j == 0, it == 0)
         l = jnp.where(first, c, _sgm_step(lprev_ref[:], c, p1, p2))
-        write(lbuf_ref, s, l)
+        if axis == 1:
+            write(lbuf_ref, s, l)
+        elif acc:
+            write(out_ref, s, (read(acc_ref, s).astype(jnp.float32) + l).astype(out_ref.dtype))
+        else:
+            write(out_ref, s, l.astype(out_ref.dtype))
         lprev_ref[:] = l
         return 0
 
     jax.lax.fori_loop(0, ks, col, 0)
-    if acc:
-        final = lbuf_ref[:] + acc_ref[:].astype(jnp.float32)
-    else:
-        final = lbuf_ref[:]
-    out_ref[:] = final.astype(out_ref.dtype)
+    if axis == 1:
+        if acc:
+            final = lbuf_ref[:] + acc_ref[:].astype(jnp.float32)
+        else:
+            final = lbuf_ref[:]
+        out_ref[:] = final.astype(out_ref.dtype)
     if wta_out:
-        s = final
+        s = out_ref[:].astype(jnp.float32)
         d_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         best = jnp.min(s, axis=-1)
         idx = jnp.min(
@@ -212,7 +226,10 @@ def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis, wta_out):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p1", "p2", "axis", "reverse", "block_s", "block_x", "out_dtype", "interpret"),
+    static_argnames=(
+        "p1", "p2", "axis", "reverse", "block_s", "block_x", "out_dtype",
+        "wta_out", "interpret",
+    ),
 )
 def aggregate_dir(
     cost: jax.Array,
@@ -222,10 +239,11 @@ def aggregate_dir(
     reverse: bool = False,
     acc: jax.Array | None = None,
     block_s: int = 8,
-    block_x: int = 128,
+    block_x: int | None = None,
     out_dtype=None,
+    wta_out: bool = False,
     interpret: bool = False,
-) -> jax.Array:
+):
     """SGM path aggregation along ``axis`` (0 or 1) of cost (H, W, D).
 
     Computes in float32; stores in ``out_dtype`` (default: acc's dtype, else
@@ -249,6 +267,16 @@ def aggregate_dir(
             out_dtype = cost.dtype
     S = cost.shape[axis]
     X = cost.shape[1 - axis]
+    if block_x is None:
+        # fewer, larger perpendicular tiles amortize the per-column fixed cost
+        # of the scan; axis 1 carries two extra f32 staging buffers, so its
+        # VMEM budget is tighter. For axis 0 the wta_out 2-D blocks put X in
+        # the lane dim, which must be a multiple of 128 (or the full X).
+        if axis == 0:
+            block_x = X if X <= 384 else 256
+        else:
+            n_tiles = max(1, -(-X // 160))
+            block_x = -(-X // n_tiles)
     pad_s = (-S) % block_s
     if pad_s:
         pad_cfg = [(0, 0), (0, 0), (0, 0)]
@@ -271,23 +299,37 @@ def aggregate_dir(
             index_map = lambda i, j: (i, ns - 1 - j, 0)  # noqa: E731
         else:
             index_map = lambda i, j: (i, j, 0)  # noqa: E731
-    scratch = pltpu.VMEM((block_x, D), jnp.float32)
+    lprev = pltpu.VMEM((block_x, D), jnp.float32)
 
+    assert not (wta_out and axis != 0), "wta_out requires an axis-0 final pass"
     out_sd = jax.ShapeDtypeStruct(cost.shape, out_dtype)
     spec = pl.BlockSpec(blk, index_map, memory_space=pltpu.VMEM)
-    cbuf = pltpu.VMEM(blk, jnp.float32)
-    lbuf = pltpu.VMEM(blk, jnp.float32)
+    if axis == 1:
+        scratches = [pltpu.VMEM(blk, jnp.float32), pltpu.VMEM(blk, jnp.float32), lprev]
+    else:
+        scratches = [lprev]
+    out_specs, out_shape = spec, out_sd
+    if wta_out:
+        if reverse:
+            im2 = lambda i, j: (ns - 1 - j, i)  # noqa: E731
+        else:
+            im2 = lambda i, j: (j, i)  # noqa: E731
+        spec2 = pl.BlockSpec((block_s, block_x), im2, memory_space=pltpu.VMEM)
+        f32hw = jax.ShapeDtypeStruct(cost.shape[:2], jnp.float32)
+        i32hw = jax.ShapeDtypeStruct(cost.shape[:2], jnp.int32)
+        out_specs = (spec, spec2, spec2, spec2, spec2, spec2)
+        out_shape = (out_sd, f32hw, i32hw, f32hw, f32hw, f32hw)
     kwargs = dict(
         grid=(nx, ns),
-        out_specs=spec,
-        out_shape=out_sd,
-        scratch_shapes=[cbuf, lbuf, scratch],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratches,
         interpret=interpret,
     )
     body = functools.partial(
         _agg_kernel,
         ks=block_s, p1=float(p1), p2=float(p2), reverse=reverse,
-        acc=acc is not None, axis=axis,
+        acc=acc is not None, axis=axis, wta_out=wta_out,
     )
     if acc is None:
         out = pl.pallas_call(body, in_specs=[spec], **kwargs)(cost)
@@ -295,9 +337,12 @@ def aggregate_dir(
         out = pl.pallas_call(
             body, in_specs=[spec, spec], input_output_aliases={1: 0}, **kwargs
         )(cost, acc)
-    if pad_s:
-        out = out[:S] if axis == 0 else out[:, :S]
-    return out
+    if not wta_out:
+        if pad_s:
+            out = out[:S] if axis == 0 else out[:, :S]
+        return out
+    outs = tuple(o[:S] if pad_s else o for o in out)
+    return outs
 
 
 # ---------------------------------------------------------------------------
@@ -343,25 +388,29 @@ def right_disparity(
     dR(u) = argmin_{d<d_valid} agg[y, u+d, d] (cv2's disp12 companion view,
     computed from the same volume — no second matching pass)."""
     H, W, D = agg.shape
+    Wp = -(-W // 128) * 128  # lane-align for the dynamic rotate
     aggt = jnp.transpose(agg, (2, 0, 1))  # (D, H, W)
+    if Wp != W:
+        aggt = jnp.pad(aggt, ((0, 0), (0, 0), (0, Wp - W)))
     nh = pl.cdiv(H, block_h)
     nd = pl.cdiv(D, block_d)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_rdisp_kernel, bd=block_d, d_valid=d_valid, w=W),
         grid=(nh, nd),
         in_specs=[
             pl.BlockSpec(
-                (block_d, block_h, W), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+                (block_d, block_h, Wp), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
             )
         ],
-        out_specs=pl.BlockSpec((block_h, W), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+        out_specs=pl.BlockSpec((block_h, Wp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, Wp), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((block_h, W), jnp.float32),
-            pltpu.VMEM((block_h, W), jnp.int32),
+            pltpu.VMEM((block_h, Wp), jnp.float32),
+            pltpu.VMEM((block_h, Wp), jnp.int32),
         ],
         interpret=interpret,
     )(aggt)
+    return out[:, :W]
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,13 @@ class SGMParams:
     # kernel implementation: "auto" → Pallas on TPU, XLA elsewhere;
     # "pallas_interpret" runs the Pallas kernels in interpreter mode (tests)
     impl: str = "auto"
+    # "full" searches all num_disparities at full resolution; "hier" runs a
+    # coarse 1/coarse_scale pass over the whole range, warps the right image by
+    # the upsampled coarse disparity, and refines a refine_range window at full
+    # resolution — ~(num_disparities/refine_range)× less full-res work
+    mode: str = "full"
+    coarse_scale: int = 4
+    refine_range: int = 128
 
 
 def _resolve_impl(impl: str) -> str:
@@ -167,14 +174,20 @@ def aggregate(cost: jax.Array, p: SGMParams) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _wta(agg: jax.Array, p: SGMParams):
+def _wta(agg: jax.Array, p: SGMParams, stats=None):
     """Winner-take-all with parabola subpixel + uniqueness test.
 
+    ``stats`` (best, idx, cm, cp, competitor) comes precomputed from the fused
+    Pallas aggregation; without it the statistics are computed here.
     Returns (disp float32 in px incl. min_disparity, valid bool), both (H, W).
     """
     D = p.num_disparities
     impl = _resolve_impl(p.impl)
-    if impl == "xla":
+    if stats is not None:
+        best, best_idx, cm, cp, competitor = stats
+        cm = jnp.where(best_idx == 0, best, cm)
+        cp = jnp.where(best_idx >= D - 1, best, cp)
+    elif impl == "xla":
         best_idx = jnp.argmin(agg, axis=-1)
         best = jnp.min(agg, axis=-1)
         d_axis = jnp.arange(D)
@@ -295,8 +308,12 @@ def _speckle_suppress(disp: jax.Array, valid: jax.Array, p: SGMParams) -> jax.Ar
 
 def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
     """Fused Pallas path: census → cost kernel (lane-padded D) → 4 chained
-    directional kernels accumulating into one sum volume. Returns the padded
-    (H, W, Dp) aggregate; lanes ≥ num_disparities carry huge costs."""
+    directional kernels accumulating into one sum volume, with the per-pixel
+    winner statistics emitted by the final pass (no separate WTA read).
+
+    Returns (agg (H, W, Dp), (best, idx, cm, cp, competitor)); agg lanes ≥
+    num_disparities carry huge costs.
+    """
     from stereovision_tpu.ops import sgm_pallas
 
     cl = im.census_transform(left, p.census_ksize, p.census_wsize)
@@ -314,8 +331,8 @@ def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
     s = agg(cost, axis=1)
     s = agg(cost, axis=1, reverse=True, acc=s)
     s = agg(cost, axis=0, acc=s)
-    s = agg(cost, axis=0, reverse=True, acc=s)
-    return s
+    s, best, idx, cm, cp, comp = agg(cost, axis=0, reverse=True, acc=s, wta_out=True)
+    return s, (best, idx, cm, cp, comp)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -325,21 +342,85 @@ def compute_disparity(left: jax.Array, right: jax.Array, params: SGMParams = SGM
     Invalid pixels carry disparity ``min_disparity − 1`` (cv2 SGBM convention,
     reference relies on it via the ``disp > MIN_DISP`` mask, depth_map.py:933).
     """
+    if params.mode == "hier":
+        return _compute_disparity_hier(left, right, params)
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
     impl = _resolve_impl(params.impl)
+    stats = None
     if impl == "xla":
         cost = census_cost_volume(left, right, params)
         agg = aggregate(cost, params)
     else:
-        agg = _cost_aggregate_pallas(left, right, params, impl == "pallas_interpret")
-    disp, valid = _wta(agg, params)
+        agg, stats = _cost_aggregate_pallas(
+            left, right, params, impl == "pallas_interpret"
+        )
+    disp, valid = _wta(agg, params, stats)
     if params.lr_max_diff >= 0:
         valid = valid & _left_right_check(agg, disp, params)
     valid = _speckle_suppress(disp, valid, params)
     if params.median_ksize > 1:
         disp = im.median_blur(disp, params.median_ksize)
     disp = jnp.where(valid, disp, float(params.min_disparity) - 1.0)
+    return disp, valid
+
+
+def _compute_disparity_hier(left, right, p: SGMParams):
+    """Coarse-to-fine: full-range SGM at 1/coarse_scale resolution, then a
+    refine_range window at full resolution against the right image warped by
+    the upsampled coarse disparity. Classic pyramid stereo, shaped for TPU:
+    the window (≥128, the lane quantum) divides full-res work by
+    num_disparities/refine_range while the coarse pass costs ~1/scale³.
+    """
+    import dataclasses as _dc
+
+    s = p.coarse_scale
+    R = p.refine_range
+    H, W = left.shape
+    left = left.astype(jnp.float32)
+    right = right.astype(jnp.float32)
+
+    dc_n = -(-p.num_disparities // s)  # ceil
+    coarse_p = _dc.replace(
+        p, mode="full", num_disparities=max(16, dc_n),
+        min_disparity=p.min_disparity // s,
+        median_ksize=3, speckle_window_size=0, refine_range=R,
+    )
+    lc = im.resize(left, (H // s, W // s))
+    rc = im.resize(right, (H // s, W // s))
+    disp_c, valid_c = compute_disparity(lc, rc, coarse_p)
+    # fill invalid coarse pixels with the valid mean so the warp stays sane
+    fill = jnp.sum(jnp.where(valid_c, disp_c, 0.0)) / (jnp.sum(valid_c) + 1e-6)
+    disp_c = jnp.where(valid_c, disp_c, fill)
+    disp_c = im.median_blur(disp_c, 5)
+    d_up = im.resize(disp_c, (H, W)) * s
+
+    # Window base = horizontal min-envelope (erosion radius R) of d_up minus a
+    # margin. The cost at (x, i) samples the warp at x−i whose shift is
+    # shift(x−i); the envelope guarantees shift(x−i) ≤ d(x) − margin for all
+    # i < R, so the true match stays inside the window wherever the local
+    # disparity range is below R (warping by the raw d_up loses objects whose
+    # disparity jumps at their boundary).
+    margin = 4.0 + s
+    env = d_up
+    k = 1
+    while k <= R:
+        left_sh = jnp.concatenate([env[:, k:], jnp.repeat(env[:, -1:], k, axis=1)], axis=1)
+        right_sh = jnp.concatenate([jnp.repeat(env[:, :1], k, axis=1), env[:, :-k]], axis=1)
+        env = jnp.minimum(env, jnp.minimum(left_sh, right_sh))
+        k *= 2
+    shift = jnp.clip(
+        jnp.round(env - margin), p.min_disparity, p.min_disparity + p.num_disparities - R
+    )
+    # integer shift → one horizontal take_along_axis (a 2-D bilinear gather of
+    # the same data is ~an order of magnitude slower on TPU)
+    xs = jnp.arange(W, dtype=jnp.int32)[None, :]
+    src_x = jnp.clip(xs - shift.astype(jnp.int32), 0, W - 1)
+    warped_right = jnp.take_along_axis(right, src_x, axis=1)
+
+    refine_p = _dc.replace(p, mode="full", num_disparities=R, min_disparity=0)
+    disp_r, valid = compute_disparity(left, warped_right, refine_p)
+    disp = jnp.where(valid, disp_r + shift, float(p.min_disparity) - 1.0)
     return disp, valid
 
 

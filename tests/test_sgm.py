@@ -113,6 +113,42 @@ class TestAgainstOpenCV:
             np.median(err_ours), np.median(err_cv))
 
 
+class TestHierarchical:
+    def test_hier_matches_full_on_slanted(self):
+        left, right, gt = slanted_pair(h=128, w=256, d0=6, d1=20)
+        p_full = SGMParams(num_disparities=48)
+        # hier with a 32-window refine (small images; TPU uses ≥128)
+        p_hier = SGMParams(num_disparities=48, mode="hier", coarse_scale=2, refine_range=32)
+        df, vf = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_full)
+        dh, vh = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_hier)
+        df, vf, dh, vh = map(np.asarray, (df, vf, dh, vh))
+        inner = np.s_[10:-10, 56:-10]
+        both = vf[inner] & vh[inner]
+        assert both.mean() > 0.7, both.mean()
+        err_h = np.abs(dh[inner] - gt[None, 56:-10])[both]
+        err_f = np.abs(df[inner] - gt[None, 56:-10])[both]
+        assert np.median(err_h) < max(0.5, 1.5 * np.median(err_f)), (
+            np.median(err_h), np.median(err_f))
+
+    def test_hier_object_jump(self):
+        """Near object on far background — the coarse pass must seed both."""
+        rng = np.random.default_rng(7)
+        H, W = 96, 192
+        base = cv2.GaussianBlur(rng.uniform(0, 255, (H, W + 40)).astype(np.float32), (5, 5), 1.0)
+        left = base[:, :W].copy()
+        right = base[:, 4 : 4 + W].copy()  # background disparity 4
+        obj = cv2.GaussianBlur(rng.uniform(0, 255, (30, 40)).astype(np.float32), (5, 5), 1.0)
+        left[30:60, 80:120] = obj
+        right[30:60, 80 - 24 : 120 - 24] = obj  # object disparity 24
+        p = SGMParams(num_disparities=48, mode="hier", coarse_scale=2, refine_range=32)
+        d, v = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
+        d, v = np.asarray(d), np.asarray(v)
+        obj_d = d[38:55, 90:110][v[38:55, 90:110]]
+        bg_d = d[10:25, 20:60][v[10:25, 20:60]]
+        assert abs(np.median(obj_d) - 24) < 1.5, np.median(obj_d)
+        assert abs(np.median(bg_d) - 4) < 1.0, np.median(bg_d)
+
+
 class TestConfidence:
     def test_confidence_contract(self):
         left, right = shifted_pair(shift=8)
