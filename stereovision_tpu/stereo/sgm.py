@@ -264,8 +264,18 @@ def _left_right_check(agg: jax.Array, disp: jax.Array, p: SGMParams) -> jax.Arra
     disp_r = disp_r_idx.astype(jnp.float32) + p.min_disparity  # (H, W), at right pixels
     # Look up dR at the matching right pixel u = x − round(dL)
     x = jnp.arange(W)
-    u = jnp.clip(x[None, :] - jnp.round(disp).astype(jnp.int32), 0, W - 1)
-    dr_at = jnp.take_along_axis(disp_r, u, axis=-1)
+    if impl == "xla":
+        u = jnp.clip(x[None, :] - jnp.round(disp).astype(jnp.int32), 0, W - 1)
+        dr_at = jnp.take_along_axis(disp_r, u, axis=-1)
+    else:
+        from stereovision_tpu.ops import sgm_pallas
+
+        off = jnp.minimum(jnp.round(disp).astype(jnp.int32), x[None, :])
+        off = jnp.maximum(off, 0)
+        dr_at = sgm_pallas.shift_gather(
+            disp_r, off, p.min_disparity + D + 1,
+            interpret=(impl == "pallas_interpret"),
+        )
     return jnp.abs(disp - dr_at) <= p.lr_max_diff
 
 
@@ -412,11 +422,21 @@ def _compute_disparity_hier(left, right, p: SGMParams):
     shift = jnp.clip(
         jnp.round(env - margin), p.min_disparity, p.min_disparity + p.num_disparities - R
     )
-    # integer shift → one horizontal take_along_axis (a 2-D bilinear gather of
-    # the same data is ~an order of magnitude slower on TPU)
+    # integer shift → bounded horizontal gather: the shift_gather kernel on
+    # TPU (max_offset lane rotates), take_along_axis on CPU
     xs = jnp.arange(W, dtype=jnp.int32)[None, :]
-    src_x = jnp.clip(xs - shift.astype(jnp.int32), 0, W - 1)
-    warped_right = jnp.take_along_axis(right, src_x, axis=1)
+    impl = _resolve_impl(p.impl)
+    if impl == "xla":
+        src_x = jnp.clip(xs - shift.astype(jnp.int32), 0, W - 1)
+        warped_right = jnp.take_along_axis(right, src_x, axis=1)
+    else:
+        from stereovision_tpu.ops import sgm_pallas
+
+        off = jnp.clip(shift.astype(jnp.int32), 0, xs)
+        warped_right = sgm_pallas.shift_gather(
+            right, off, p.min_disparity + p.num_disparities - R + 1,
+            interpret=(impl == "pallas_interpret"),
+        )
 
     refine_p = _dc.replace(p, mode="full", num_disparities=R, min_disparity=0)
     disp_r, valid = compute_disparity(left, warped_right, refine_p)
