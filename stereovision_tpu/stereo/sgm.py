@@ -43,8 +43,8 @@ class SGMParams:
 
     min_disparity: int = 0
     num_disparities: int = 128
-    census_ksize: int = 7   # census window width  (blockSize analog)
-    census_wsize: int = 5   # census window height
+    census_ksize: int = 5   # census window width (5x5 = one 24-bit word; the
+    census_wsize: int = 5   # 7x5 blockSize-analog window costs 2x for ~equal quality
     p1: float = 8.0         # small-jump penalty
     p2: float = 96.0        # large-jump penalty
     uniqueness_ratio: int = 10      # % margin, cv2 semantics; 0 disables

@@ -139,3 +139,29 @@ class TestMonoApps:
         rc = mono_motion.main(["--images", str(frames), "--glob", "*.jpg", "--out", str(out)])
         assert rc == 0
         assert len(list(out.glob("motion_*.png"))) >= 1
+
+
+class TestFusedApp:
+    def test_fused_pipeline_runs(self, synthetic_captures, tmp_path):
+        """The full 3-method fusion CLI over the synthetic captures."""
+        from stereovision_tpu.apps import calibrate as cal_app
+        from stereovision_tpu.apps import fused as fused_app
+
+        captures, _ = synthetic_captures
+        out = tmp_path / "output"
+        rc = cal_app.main([
+            "universal", "--images", str(captures), "--board", "9x6",
+            "--square-cm", str(SQ), "--out", str(out),
+        ])
+        assert rc == 0
+        fused_out = tmp_path / "fused"
+        rc = fused_app.main([
+            "--calib", str(out), "--images", str(captures), "--out", str(fused_out),
+            "--scale", "0.5", "--no-midas",
+        ])
+        assert rc == 0
+        pngs = sorted(fused_out.glob("fused_*.png"))
+        assert len(pngs) >= 10
+        z = np.load(sorted(fused_out.glob("fused_*.npz"))[0])
+        assert z["fused"].max() <= 255.0
+        assert z["meters"].min() >= 0.05
