@@ -165,3 +165,38 @@ class TestFusedApp:
         z = np.load(sorted(fused_out.glob("fused_*.npz"))[0])
         assert z["fused"].max() <= 255.0
         assert z["meters"].min() >= 0.05
+
+
+class TestSfmApp:
+    def test_sequence_sfm(self, tmp_path):
+        """Translating camera over a textured 3-D scene → BA trajectory."""
+        import imageio.v2 as iio
+
+        rng = np.random.default_rng(71)
+        frames_dir = tmp_path / "seq"
+        frames_dir.mkdir()
+        # two fronto-parallel textured planes at different depths rendered by
+        # shifting each with its own parallax per frame
+        far = cv2.GaussianBlur(rng.uniform(0, 255, (140, 260)).astype(np.float32), (5, 5), 1.0)
+        near = cv2.GaussianBlur(rng.uniform(0, 255, (60, 80)).astype(np.float32), (5, 5), 1.0)
+        for f in range(6):
+            img = np.roll(far, -2 * f, axis=1)[:120, :200].copy()
+            x0 = 60 - 5 * f
+            img[35:95, x0 : x0 + 80] = near
+            iio.imwrite(frames_dir / f"f_{f:03d}.jpg", img.astype(np.uint8))
+        from stereovision_tpu.apps import sfm
+
+        out = tmp_path / "sfm"
+        rc = sfm.main([
+            "--images", str(frames_dir), "--glob", "*.jpg",
+            "--fx", "250", "--fy", "250", "--cx", "100", "--cy", "60",
+            "--out", str(out), "--min-track-length", "3", "--ba-iters", "6",
+        ])
+        assert rc == 0
+        z = np.load(out / "sfm_result.npz")
+        assert z["poses"].shape[0] == 6
+        assert z["rms"] < 3.0, z["rms"]
+        # camera moves dominantly along x
+        t = z["poses"][:, 3:]
+        dx = np.diff(t[:, 0])
+        assert np.abs(dx).sum() > np.abs(np.diff(t[:, 1])).sum()
