@@ -64,8 +64,31 @@ def run_mono(args):
     store.save(f"calibration_data_{args.side}", {**out, "img_size": np.asarray(size)})
     if args.reference_pkl:
         store.save_reference_pkl(Path(args.out) / f"calibration_data_{args.side}.pkl", out)
+    if args.dump_undistorted:
+        _dump_undistorted(used, out, size, Path(args.out) / "undistorted")
     print(f"saved → {args.out}/calibration_data_{args.side}.npz")
     return 0 if rms < 3.0 else 1
+
+
+def _dump_undistorted(files, cal, size, out_dir):
+    """Per-image undistortion dumps (reference camera_calibration.py:122-178:
+    getOptimalNewCameraMatrix(alpha=1) + undistort)."""
+    import imageio.v2 as iio
+    import jax.numpy as jnp
+
+    from stereovision_tpu.core import geometry as geom
+    from stereovision_tpu.core import image as im
+    from stereovision_tpu.io.frames import _imread_gray
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    K = jnp.asarray(cal["camera_matrix"])
+    dist = jnp.asarray(cal["distortion_coefficients"])
+    newK, _ = geom.get_optimal_new_camera_matrix(K, dist, size, alpha=1.0)
+    mx, my = geom.init_undistort_rectify_map(K, dist, jnp.eye(3), newK, size)
+    for p in files:
+        und = np.asarray(im.remap(jnp.asarray(_imread_gray(p)), mx, my))
+        iio.imwrite(out_dir / f"undistorted_{p.name}.png",
+                    np.clip(und, 0, 255).astype(np.uint8))
 
 
 def _image_size(path):
@@ -193,6 +216,8 @@ def main(argv=None):
     m = sub.add_parser("mono", parents=[common])
     m.add_argument("--side", choices=["left", "right"], required=True)
     m.add_argument("--pattern", default=None, help="filename glob (default <side>_*.jpg)")
+    m.add_argument("--dump-undistorted", action="store_true",
+                   help="write alpha=1 undistorted copies (camera_calibration.py:122-178)")
     sub.add_parser("stereo", parents=[common])
     sub.add_parser("universal", parents=[common])
     args = ap.parse_args(argv)

@@ -153,7 +153,20 @@ def main(argv=None):
         meters = fused_to_meters(fused, focal, baseline_cm,
                                  num_disparities=float(sgm.num_disparities))
         cmap = im.apply_colormap(fused.astype(jnp.uint8), "jet", bgr=False)
-        iio.imwrite(out_dir / f"fused_{i:04d}.png", np.asarray(cmap, np.uint8))
+        # HUD overlay: mode string + occlusion + motion status (reference
+        # fuse_depth_maps annotation block and status line :2864-2907)
+        from stereovision_tpu.fusion.fuse import mode_text
+        from stereovision_tpu.utils.annotate import draw_text
+
+        annotated = draw_text(
+            np.asarray(cmap, np.uint8),
+            [
+                f"FUSED: {mode_text(int(mode), fusion_params, have_midas, have_flow)}",
+                f"occlusion: {state}" + ("" if hysteresis.stereo_enabled else "  [stereo OFF]"),
+                ("CAM MOVING" if camera_moving else "STATIC") if have_flow else "",
+            ],
+        )
+        iio.imwrite(out_dir / f"fused_{i:04d}.png", annotated)
         np.savez(out_dir / f"fused_{i:04d}.npz", fused=np.asarray(fused),
                  conf=np.asarray(fconf), meters=np.asarray(meters),
                  mode=int(mode), occlusion=state)

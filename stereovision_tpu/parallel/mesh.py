@@ -26,3 +26,23 @@ def make_mesh(frame: int | None = None, tile: int = 1, devices=None) -> Mesh:
     assert frame * tile == n, f"{frame}×{tile} != {n} devices"
     arr = np.asarray(devices).reshape(frame, tile)
     return Mesh(arr, ("frame", "tile"))
+
+
+def initialize_multihost(coordinator: str | None = None, num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Multi-host bootstrap: call once per host before building meshes.
+
+    On cloud TPU pods with default env configuration,
+    ``jax.distributed.initialize()`` auto-discovers everything; pass explicit
+    values for manual clusters. After this, ``jax.devices()`` spans all hosts
+    and `make_mesh()` builds pod-wide meshes whose collectives ride ICI within
+    a slice and DCN across slices.
+    """
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
