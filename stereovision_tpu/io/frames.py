@@ -60,6 +60,20 @@ class PairedImageSource:
         return len(self.pairs())
 
     def __iter__(self):
+        pairs = self.pairs()
+        # fast path: the native threaded decoder prefetches ahead of the
+        # consumer (left/right interleaved in one window)
+        try:
+            from stereovision_tpu.io import native_loader
+
+            if native_loader.available() and not self.color and pairs:
+                flat = [p for pair in pairs for p in pair]
+                with native_loader.PrefetchingLoader(flat, gray=True) as ld:
+                    for i in range(len(pairs)):
+                        yield ld.fetch(2 * i), ld.fetch(2 * i + 1)
+                return
+        except Exception:
+            pass  # fall back to imageio below
         read = _imread_bgr if self.color else _imread_gray
         for lp, rp in self.pairs():
             yield read(lp), read(rp)

@@ -36,3 +36,57 @@ class TestFilterSpeckles:
         ours, removed = native.filter_speckles(disp, -1.0, 100, 1.0)
         assert removed == 0
         np.testing.assert_allclose(ours, disp)
+
+
+class TestNativeLoader:
+    def test_decode_matches_imageio(self, tmp_path):
+        import imageio.v2 as iio
+        from stereovision_tpu.io import native_loader
+
+        if not native_loader.available():
+            pytest.skip("no native toolchain")
+        img = RNG.integers(0, 255, (48, 64), np.uint8)
+        rgb = RNG.integers(0, 255, (32, 40, 3), np.uint8)
+        iio.imwrite(tmp_path / "g.png", img)
+        iio.imwrite(tmp_path / "c.png", rgb)
+        iio.imwrite(tmp_path / "c.jpg", rgb, quality=95)
+        # PNG is lossless — exact match
+        out = native_loader.decode(tmp_path / "g.png", gray=True)
+        np.testing.assert_allclose(out, img.astype(np.float32))
+        outc = native_loader.decode(tmp_path / "c.png", gray=False)
+        np.testing.assert_allclose(outc, rgb.astype(np.float32))
+        # JPEG decoders agree closely
+        outj = native_loader.decode(tmp_path / "c.jpg", gray=False)
+        ref = iio.imread(tmp_path / "c.jpg").astype(np.float32)
+        assert np.abs(outj - ref).mean() < 2.0
+
+    def test_prefetching_loader_order_and_values(self, tmp_path):
+        import imageio.v2 as iio
+        from stereovision_tpu.io import native_loader
+
+        if not native_loader.available():
+            pytest.skip("no native toolchain")
+        paths = []
+        for i in range(12):
+            img = np.full((16, 16), i * 10, np.uint8)
+            p = tmp_path / f"f_{i:02d}.png"
+            iio.imwrite(p, img)
+            paths.append(p)
+        with native_loader.PrefetchingLoader(paths, gray=True, window=4, threads=3) as ld:
+            frames = list(ld)
+        assert len(frames) == 12
+        for i, f in enumerate(frames):
+            assert f.shape == (16, 16)
+            assert float(f.mean()) == i * 10
+
+    def test_pnm_decode(self, tmp_path):
+        from stereovision_tpu.io import native_loader
+
+        if not native_loader.available():
+            pytest.skip("no native toolchain")
+        img = RNG.integers(0, 255, (20, 30), np.uint8)
+        with open(tmp_path / "t.pgm", "wb") as f:
+            f.write(b"P5 30 20 255\n")
+            f.write(img.tobytes())
+        out = native_loader.decode(tmp_path / "t.pgm", gray=True)
+        np.testing.assert_allclose(out, img.astype(np.float32))
