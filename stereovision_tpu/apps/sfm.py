@@ -67,6 +67,10 @@ def main(argv=None):
     ap.add_argument("--out", default="sfm_out")
     ap.add_argument("--max-frames", type=int, default=64)
     ap.add_argument("--ba-iters", type=int, default=10)
+    ap.add_argument("--ba-checkpoint-every", type=int, default=5,
+                    help="save BA state every N LM iterations (resume point)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume the BA from <out>/ba_checkpoint.npz")
     ap.add_argument("--min-track-length", type=int, default=3)
     args = ap.parse_args(argv)
 
@@ -178,13 +182,27 @@ def main(argv=None):
     mesh = make_mesh(frame=frame_axis, tile=1, devices=jax.devices()[:frame_axis])
     print(f"[sfm] BA over {frame_axis}-device mesh: {F} poses, {L} landmarks…")
     intr = jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
-    p_out, l_out, rms = distributed_slam_ba(
-        jnp.asarray(obs_uv), jnp.asarray(obs_lid), jnp.asarray(obs_mask),
-        intr, jnp.asarray(poses), jnp.asarray(landmarks), mesh,
-        iters=args.ba_iters,
-    )
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
+    ckpt = out_dir / "ba_checkpoint.npz"
+    done = 0
+    if args.resume and ckpt.exists():
+        z = np.load(ckpt)
+        poses, landmarks, done = z["poses"], z["landmarks"], int(z["iters_done"])
+        print(f"[sfm] resumed BA checkpoint at iteration {done}")
+    # run the jitted LM loop in chunks; each chunk boundary is a resume point
+    # (the long-solve checkpointing SURVEY §5 calls for)
+    p_out, l_out, rms = jnp.asarray(poses), jnp.asarray(landmarks), jnp.asarray(np.inf)
+    while done < args.ba_iters:
+        chunk = min(args.ba_checkpoint_every, args.ba_iters - done)
+        p_out, l_out, rms = distributed_slam_ba(
+            jnp.asarray(obs_uv), jnp.asarray(obs_lid), jnp.asarray(obs_mask),
+            intr, p_out, l_out, mesh, iters=chunk,
+        )
+        done += chunk
+        np.savez(ckpt, poses=np.asarray(p_out), landmarks=np.asarray(l_out),
+                 iters_done=done)
+        print(f"[sfm] BA {done}/{args.ba_iters} iterations, rms={float(rms):.3f}")
     np.savez(
         out_dir / "sfm_result.npz",
         poses=np.asarray(p_out), landmarks=np.asarray(l_out),

@@ -500,3 +500,17 @@ def init_undistort_rectify_map(K, dist, R, newP, size):
 def disparity_to_depth(disparity: jax.Array, focal_px: jax.Array, baseline: jax.Array) -> jax.Array:
     """depth = f·B / d (reference depth_map.py:915-926, with the eps guard)."""
     return focal_px * baseline / (disparity + 1e-6)
+
+
+def reproject_image_to_3d(disparity: jax.Array, Q: jax.Array) -> jax.Array:
+    """Disparity (H, W) + rectification Q (4, 4) → point cloud (H, W, 3),
+    cv2.reprojectImageTo3D semantics ([x y d 1]ᵀ → Q·, dehomogenized). The Q
+    matrix is part of the stereo calibration contract (§2.9) the reference
+    stores but never consumes; here it closes the loop to metric 3-D."""
+    H, W = disparity.shape
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
+    vec = jnp.stack([xs, ys, disparity.astype(jnp.float32), jnp.ones_like(xs)], -1)
+    out = vec @ jnp.asarray(Q, jnp.float32).T
+    w = out[..., 3:4]
+    return out[..., :3] / jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)

@@ -21,15 +21,24 @@ from stereovision_tpu.core import image as im
 from stereovision_tpu.models.midas import MidasSmall
 
 
-def create_model(seed: int = 0, net_hw=(256, 256)):
-    """Build the model and (randomly initialized) variables.
-
-    Random init keeps the full pipeline runnable offline; see
-    models.midas.load_torch_state_dict for the weight-porting path.
+def create_model(seed: int = 0, net_hw=(256, 256), pretrained: bool = True):
+    """Build the model; load the bundled synthetic-pretrained weights when
+    available (``models/pretrained/midas_synthetic.msgpack``, trained offline by
+    ``models.train_synthetic`` — the torch-hub download the reference performs
+    at runtime is unavailable in this deployment; see
+    models.midas.load_torch_state_dict for porting real MiDaS weights).
     """
+    from pathlib import Path
+
     model = MidasSmall()
     rng = jax.random.PRNGKey(seed)
     variables = model.init(rng, jnp.zeros((1, *net_hw, 3), jnp.float32))
+    if pretrained:
+        path = Path(__file__).resolve().parents[1] / "models" / "pretrained" / "midas_synthetic.msgpack"
+        if path.exists():
+            from stereovision_tpu.models.checkpoint import load_variables
+
+            variables = load_variables(path, variables)
     return model, variables
 
 

@@ -183,3 +183,18 @@ class TestRectification:
                 jnp.asarray(self.K1), jnp.asarray(self.d1), self.size, alpha
             )
             np.testing.assert_allclose(np.asarray(nk), nk_cv, rtol=5e-3, atol=2.0)
+
+
+class TestReproject3D:
+    def test_matches_cv2_reproject(self):
+        K1 = np.array([[820.0, 0, 650], [0, 825.0, 370], [0, 0, 1]])
+        K2 = np.array([[815.0, 0, 630], [0, 818.0, 355], [0, 0, 1]])
+        d0 = np.zeros(5)
+        R = np.eye(3)
+        T = np.array([-6.5, 0.0, 0.0]).reshape(3, 1)
+        *_, Qc, _, _ = cv2.stereoRectify(K1, d0, K2, d0, (640, 480), R, T,
+                                         flags=cv2.CALIB_ZERO_DISPARITY, alpha=0)
+        disp = RNG.uniform(5, 60, (48, 64)).astype(np.float32)
+        pts_cv = cv2.reprojectImageTo3D(disp, Qc)
+        pts = np.asarray(geom.reproject_image_to_3d(jnp.asarray(disp), jnp.asarray(Qc)))
+        np.testing.assert_allclose(pts, pts_cv, rtol=1e-4, atol=1e-3)
