@@ -166,6 +166,18 @@ def run_stereo(args, universal=False):
         store.save_reference_pkl(Path(args.out) / "stereo_calibration_data.pkl", full)
     store.export_txt_sidecars("stereo_calibration_data")
     _write_rectification_check(args, full, size, scanlines=universal)
+    # quantitative epipolar check (the reference's scanline image, measured)
+    from stereovision_tpu.calib.verify import rectification_epipolar_error
+    from stereovision_tpu.io.frames import PairedImageSource
+
+    metrics = rectification_epipolar_error(
+        full, iter(PairedImageSource(args.images)), pattern
+    )
+    if metrics.get("n_pairs"):
+        print(
+            f"rectification check: mean |Δy| = {metrics['mean_abs_dy']:.3f} px "
+            f"(max {metrics['max_abs_dy']:.2f}) over {metrics['n_pairs']} pairs"
+        )
     print(f"saved → {args.out}/stereo_calibration_data.npz")
     return 0
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -132,7 +133,10 @@ class MidasSmall(nn.Module):
         d = nn.Conv(32, (3, 3), padding="SAME")(d)
         d = nn.relu(d)
         d = nn.Conv(1, (1, 1))(d)
-        return nn.relu(d)[..., 0]
+        # softplus, not relu: a relu head can die during training (all-negative
+        # pre-activations -> constant output -> zero gradients under the
+        # scale/shift-invariant loss); softplus keeps positivity with gradient
+        return jax.nn.softplus(d)[..., 0]
 
 
 def load_torch_state_dict(params, state_dict):  # pragma: no cover - needs weights

@@ -8,12 +8,15 @@ TPU-first design:
 - matching cost: census transform + Hamming distance (gain/bias-robust, integer
   VPU ops) instead of SGBM's Birchfield–Tomasi + prefilter;
 - aggregation: 4 semi-global paths (→ ← ↓ ↑, the same path family as
-  MODE_SGBM_3WAY's horizontal+vertical passes) as ``lax.scan`` wavefronts that
-  vectorize over the perpendicular image axis × disparity axis — each scan step
-  is a (rows-or-cols × D) VPU block, so the sequential dependency is only along
-  the scan axis;
+  MODE_SGBM_3WAY's horizontal+vertical passes). On TPU these run as Pallas
+  kernels (ops.sgm_pallas): int8 cost / int16 sum volumes, the running L row
+  in VMEM scratch, and fused winner-take-all in the final pass; on CPU the
+  same recurrence runs as ``lax.scan`` (the two paths are bit-identical with
+  integer penalties — tests compare them exactly);
 - post: winner-take-all + parabola subpixel, uniqueness ratio, left–right
-  consistency, windowed speckle suppression, median filter.
+  consistency, windowed speckle suppression, median filter;
+- ``mode="hier"``: coarse-to-fine (full range at 1/4 scale, then a ≥128-wide
+  window refined at full resolution against a disparity-warped right image).
 
 Everything is one jittable function over static ``SGMParams``; batching over a
 leading frame axis comes free via ``vmap`` (frame-parallel disparity is sharded

@@ -200,3 +200,23 @@ class TestSfmApp:
         t = z["poses"][:, 3:]
         dx = np.diff(t[:, 0])
         assert np.abs(dx).sum() > np.abs(np.diff(t[:, 1])).sum()
+
+
+class TestRectificationVerify:
+    def test_epipolar_error_small_after_calibration(self, synthetic_captures, tmp_path):
+        from stereovision_tpu.apps import calibrate as cal_app
+        from stereovision_tpu.calib.verify import rectification_epipolar_error
+        from stereovision_tpu.io.frames import PairedImageSource
+        from stereovision_tpu.io.store import CalibrationStore
+
+        captures, _ = synthetic_captures
+        out = tmp_path / "out"
+        assert cal_app.main([
+            "universal", "--images", str(captures), "--board", "9x6",
+            "--square-cm", str(SQ), "--out", str(out),
+        ]) == 0
+        cal = CalibrationStore(out).load("stereo_calibration_data")
+        m = rectification_epipolar_error(cal, iter(PairedImageSource(captures)), BOARD)
+        assert m["n_pairs"] >= 10
+        assert m["mean_abs_dy"] < 0.3, m
+        assert m["mean_disparity"] > 0  # left x > right x for positive depth
