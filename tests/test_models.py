@@ -32,3 +32,31 @@ class TestMidasSmall:
         n = sum(x.size for x in jax.tree.leaves(variables["params"]))
         # MiDaS_small is ~21M params; this lite variant should be 1M–30M
         assert 1e6 < n < 3e7, n
+
+
+class TestPretrainedWeights:
+    def test_bundled_weights_order_depth(self):
+        """The bundled synthetic-pretrained weights must rank depths far better
+        than chance on held-out procedural scenes (spearman ≥ 0.5)."""
+        from pathlib import Path
+
+        import stereovision_tpu
+
+        wpath = Path(stereovision_tpu.__file__).parent / "models" / "pretrained" / "midas_synthetic.msgpack"
+        if not wpath.exists():
+            import pytest
+
+            pytest.skip("no bundled weights")
+        from scipy.stats import spearmanr
+
+        from stereovision_tpu.models.synthetic_scenes import make_scene
+        from stereovision_tpu.mono.nn import create_model, estimate_depth
+
+        model, variables = create_model(net_hw=(128, 128), pretrained=True)
+        rng = np.random.default_rng(55555)
+        cors = []
+        for _ in range(4):
+            img, invd = make_scene(rng, 128)
+            d, _ = estimate_depth(model, variables, jnp.asarray(img[..., ::-1]), net_hw=(128, 128))
+            cors.append(spearmanr(np.asarray(d).ravel()[::11], invd.ravel()[::11]).statistic)
+        assert np.mean(cors) > 0.5, cors
