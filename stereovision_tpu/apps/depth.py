@@ -24,6 +24,8 @@ def main(argv=None):
     ap.add_argument("--images", required=True)
     ap.add_argument("--out", default="depth_captures")
     ap.add_argument("--num-disparities", type=int, default=320)
+    ap.add_argument("--mode", choices=["full", "hier"], default="full",
+                    help="hier = coarse-to-fine (~2x faster at 320 disparities)")
     ap.add_argument("--min-depth", type=float, default=0.2, help="meters (depth_map.py:1035)")
     ap.add_argument("--max-depth", type=float, default=4.0)
     ap.add_argument("--cmap", default="turbo", choices=["turbo", "jet"])
@@ -50,7 +52,7 @@ def main(argv=None):
     focal = float(np.asarray(cal["P1"])[0, 0])
     baseline_m = abs(float(np.asarray(cal["T"]).ravel()[0])) / 100.0  # cm → m
 
-    params = SGMParams(num_disparities=args.num_disparities)
+    params = SGMParams(num_disparities=args.num_disparities, mode=args.mode)
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     import imageio.v2 as iio

@@ -80,6 +80,36 @@ class PairedImageSource:
 
 
 @dataclasses.dataclass
+class VideoSource:
+    """Frames from a video file via imageio's ffmpeg plugin (gated: raises a
+    clear error when the plugin/codec is unavailable in the image)."""
+
+    path: str | Path
+    color: bool = False
+    step: int = 1
+
+    def __iter__(self):
+        try:
+            import imageio.v2 as iio
+
+            reader = iio.get_reader(str(self.path))
+        except Exception as e:  # pragma: no cover - codec availability varies
+            raise RuntimeError(
+                f"video decoding unavailable for {self.path}: {e}; extract "
+                "frames to images and use PairedImageSource"
+            ) from e
+        for i, frame in enumerate(reader):
+            if i % self.step:
+                continue
+            f = np.asarray(frame, np.float32)
+            if not self.color and f.ndim == 3:
+                f = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+            elif self.color and f.ndim == 3:
+                f = f[..., :3][..., ::-1]
+            yield f
+
+
+@dataclasses.dataclass
 class SyntheticStereoSource:
     """Procedural rectified stereo pairs with known disparity (tests/demos).
 

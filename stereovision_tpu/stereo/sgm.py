@@ -394,10 +394,14 @@ def _compute_disparity_hier(left, right, p: SGMParams):
     right = right.astype(jnp.float32)
 
     dc_n = -(-p.num_disparities // s)  # ceil
+    # the coarse estimate only seeds the refine window: skip the LR/uniqueness
+    # machinery there (gross coarse errors are absorbed by the erosion margin,
+    # and anything the window misses is invalidated by the refine-stage checks)
     coarse_p = _dc.replace(
         p, mode="full", num_disparities=max(16, dc_n),
         min_disparity=p.min_disparity // s,
         median_ksize=3, speckle_window_size=0, refine_range=R,
+        lr_max_diff=-1, uniqueness_ratio=0,
     )
     lc = im.resize(left, (H // s, W // s))
     rc = im.resize(right, (H // s, W // s))
