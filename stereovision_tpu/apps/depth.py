@@ -30,6 +30,7 @@ def main(argv=None):
     ap.add_argument("--max-depth", type=float, default=4.0)
     ap.add_argument("--cmap", default="turbo", choices=["turbo", "jet"])
     ap.add_argument("--save-npz", action="store_true")
+    ap.add_argument("--limit", type=int, default=0, help="process only the first N pairs")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -60,6 +61,8 @@ def main(argv=None):
     src = PairedImageSource(args.images)
     stats = []
     for i, (left, right) in enumerate(src):
+        if args.limit and i >= args.limit:
+            break
         t0 = time.perf_counter()
         lr = im.remap(jnp.asarray(left), mx1, my1)
         rr = im.remap(jnp.asarray(right), mx2, my2)

@@ -14,23 +14,30 @@ from pathlib import Path
 import numpy as np
 
 
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    """RGB (or already-gray) frame → BT.601 luma float32."""
+    if img.ndim == 3:
+        img = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    return np.asarray(img, np.float32)
+
+
+def _to_bgr(img: np.ndarray) -> np.ndarray:
+    """RGB (or gray) frame → (H, W, 3) BGR float32."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    return img[..., :3][..., ::-1].astype(np.float32)
+
+
 def _imread_gray(path: Path) -> np.ndarray:
     import imageio.v2 as iio
 
-    img = np.asarray(iio.imread(path))
-    if img.ndim == 3:
-        # files are RGB from imageio; BT.601 luma
-        img = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
-    return img.astype(np.float32)
+    return _to_gray(np.asarray(iio.imread(path)))
 
 
 def _imread_bgr(path: Path) -> np.ndarray:
     import imageio.v2 as iio
 
-    img = np.asarray(iio.imread(path))
-    if img.ndim == 2:
-        img = np.stack([img] * 3, axis=-1)
-    return img[..., :3][..., ::-1].astype(np.float32)  # RGB → BGR
+    return _to_bgr(np.asarray(iio.imread(path)))
 
 
 @dataclasses.dataclass
@@ -89,24 +96,25 @@ class VideoSource:
     step: int = 1
 
     def __iter__(self):
+        if self.step < 1:
+            raise ValueError(f"step must be >= 1, got {self.step}")
         try:
             import imageio.v2 as iio
 
             reader = iio.get_reader(str(self.path))
-        except Exception as e:  # pragma: no cover - codec availability varies
+        except Exception as e:
             raise RuntimeError(
                 f"video decoding unavailable for {self.path}: {e}; extract "
                 "frames to images and use PairedImageSource"
             ) from e
-        for i, frame in enumerate(reader):
-            if i % self.step:
-                continue
-            f = np.asarray(frame, np.float32)
-            if not self.color and f.ndim == 3:
-                f = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
-            elif self.color and f.ndim == 3:
-                f = f[..., :3][..., ::-1]
-            yield f
+        try:
+            for i, frame in enumerate(reader):
+                if i % self.step:
+                    continue
+                f = np.asarray(frame)
+                yield _to_bgr(f) if self.color else _to_gray(f)
+        finally:
+            reader.close()  # don't leak the ffmpeg subprocess on early exit
 
 
 @dataclasses.dataclass

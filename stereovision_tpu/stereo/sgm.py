@@ -356,7 +356,12 @@ def compute_disparity(left: jax.Array, right: jax.Array, params: SGMParams = SGM
     reference relies on it via the ``disp > MIN_DISP`` mask, depth_map.py:933).
     """
     if params.mode == "hier":
-        return _compute_disparity_hier(left, right, params)
+        if params.num_disparities <= params.refine_range:
+            # nothing to gain (and the window-clip bounds would invert):
+            # a full search over ≤ refine_range disparities IS the refine pass
+            params = dataclasses.replace(params, mode="full")
+        else:
+            return _compute_disparity_hier(left, right, params)
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
     impl = _resolve_impl(params.impl)
@@ -394,14 +399,17 @@ def _compute_disparity_hier(left, right, p: SGMParams):
     right = right.astype(jnp.float32)
 
     dc_n = -(-p.num_disparities // s)  # ceil
-    # the coarse estimate only seeds the refine window: skip the LR/uniqueness
-    # machinery there (gross coarse errors are absorbed by the erosion margin,
-    # and anything the window misses is invalidated by the refine-stage checks)
+    # The coarse estimate only seeds the refine window: skip the expensive LR
+    # check (the rdisp diagonal pass) but KEEP the uniqueness test — it is free
+    # (fused WTA statistics) and catches aliased too-low matches on repetitive
+    # texture, which the min-erosion envelope would otherwise propagate (the
+    # envelope only absorbs too-high coarse errors; invalid pixels get
+    # mean-filled before warping instead).
     coarse_p = _dc.replace(
         p, mode="full", num_disparities=max(16, dc_n),
         min_disparity=p.min_disparity // s,
         median_ksize=3, speckle_window_size=0, refine_range=R,
-        lr_max_diff=-1, uniqueness_ratio=0,
+        lr_max_diff=-1,
     )
     lc = im.resize(left, (H // s, W // s))
     rc = im.resize(right, (H // s, W // s))

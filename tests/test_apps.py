@@ -220,3 +220,52 @@ class TestRectificationVerify:
         assert m["n_pairs"] >= 10
         assert m["mean_abs_dy"] < 0.3, m
         assert m["mean_disparity"] > 0  # left x > right x for positive depth
+
+
+class TestDepthHierMode:
+    def test_hier_mode_cli(self, synthetic_captures, tmp_path):
+        from stereovision_tpu.apps import calibrate as cal_app
+        from stereovision_tpu.apps import depth as depth_app
+
+        captures, _ = synthetic_captures
+        out = tmp_path / "out"
+        assert cal_app.main([
+            "universal", "--images", str(captures), "--board", "9x6",
+            "--square-cm", str(SQ), "--out", str(out),
+        ]) == 0
+        depth_out = tmp_path / "d"
+        rc = depth_app.main([
+            "--calib", str(out), "--images", str(captures), "--out", str(depth_out),
+            "--num-disparities", "192", "--mode", "hier", "--limit", "2",
+        ])
+        assert rc == 0
+        assert len(list(depth_out.glob("depth_*.png"))) == 2
+
+    def test_hier_small_range_falls_back_to_full(self):
+        """num_disparities ≤ refine_range must not invert the window clip."""
+        rng = np.random.default_rng(2)
+        base = cv2.GaussianBlur(rng.uniform(0, 255, (64, 120)).astype(np.float32), (5, 5), 1.0)
+        left, right = base[:, :112], base[:, 5:117]
+        from stereovision_tpu.stereo import SGMParams, compute_disparity
+
+        p = SGMParams(num_disparities=32, mode="hier")  # 32 < refine_range 128
+        d, v = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
+        d, v = np.asarray(d), np.asarray(v)
+        good = d[10:-10, 40:-10][v[10:-10, 40:-10]]
+        assert abs(np.median(good) - 5) < 1.0, np.median(good)
+
+
+class TestVideoSource:
+    def test_bogus_file_raises_cleanly(self, tmp_path):
+        from stereovision_tpu.io import VideoSource
+
+        bad = tmp_path / "not_a_video.mp4"
+        bad.write_bytes(b"garbage")
+        with pytest.raises(RuntimeError, match="video decoding unavailable"):
+            list(VideoSource(bad))
+
+    def test_step_validation(self, tmp_path):
+        from stereovision_tpu.io import VideoSource
+
+        with pytest.raises(ValueError, match="step"):
+            list(VideoSource(tmp_path / "x.mp4", step=0))
