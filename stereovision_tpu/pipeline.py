@@ -1,0 +1,215 @@
+"""High-level streaming pipelines — the framework's production API.
+
+The apps/ CLIs orchestrate files; these classes are the embeddable equivalent:
+construct once from a calibration (maps + params become compiled constants),
+then call per frame pair. Everything device-side happens in one jitted program
+per call; host↔device traffic is the input frames and the outputs you ask for.
+
+    from stereovision_tpu.pipeline import DepthPipeline
+    pipe = DepthPipeline.from_store("output", num_disparities=320, mode="hier")
+    result = pipe(left_gray, right_gray)     # DepthResult
+    result.depth_m, result.disparity, result.valid
+
+    fused = FusedPipeline.from_store("output", scale=0.33)
+    out = fused(left_gray, right_gray, t_now=timestamp)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stereovision_tpu.core import geometry as geom
+from stereovision_tpu.core import image as im
+from stereovision_tpu.stereo import SGMParams, disparity_with_confidence
+
+
+@dataclasses.dataclass
+class DepthResult:
+    disparity: jax.Array   # (H, W) float px
+    confidence: jax.Array  # (H, W) 0/1 (reference contract)
+    depth_m: jax.Array     # (H, W) meters, 0 where invalid
+
+
+class DepthPipeline:
+    """Rectification + disparity + metric depth as one jitted call."""
+
+    def __init__(self, cal: dict, params: SGMParams, min_depth=0.2, max_depth=4.0,
+                 proc_scale: float = 1.0):
+        size = tuple(int(v) for v in cal["img_size"])
+        self.size = size
+        if proc_scale != 1.0:
+            size, cal = _rescale_calibration(cal, proc_scale)
+        self.proc_size = size
+        mx1, my1 = geom.init_undistort_rectify_map(
+            jnp.asarray(cal["mtx_left"]), jnp.asarray(np.ravel(cal["dist_left"])),
+            jnp.asarray(cal["R1"]), jnp.asarray(cal["P1"]), size)
+        mx2, my2 = geom.init_undistort_rectify_map(
+            jnp.asarray(cal["mtx_right"]), jnp.asarray(np.ravel(cal["dist_right"])),
+            jnp.asarray(cal["R2"]), jnp.asarray(cal["P2"]), size)
+        self._maps = (mx1, my1, mx2, my2)
+        self.focal = float(np.asarray(cal["P1"])[0, 0])
+        self.baseline_m = abs(float(np.asarray(cal["T"]).ravel()[0])) / 100.0
+        self.params = params
+        self.min_depth = min_depth
+        self.max_depth = max_depth
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _run(left, right, mx1, my1, mx2, my2):
+            h, w = self.proc_size[1], self.proc_size[0]
+            if left.shape != (h, w):
+                left = im.resize(left, (h, w))
+                right = im.resize(right, (h, w))
+            lr = im.remap(left, mx1, my1)
+            rr = im.remap(right, mx2, my2)
+            disp, conf = disparity_with_confidence(lr, rr, params)
+            depth = geom.disparity_to_depth(disp, self.focal, self.baseline_m)
+            depth = jnp.clip(depth, min_depth, max_depth)
+            depth = jnp.where(conf > 0, depth, 0.0)
+            return disp, conf, depth
+
+        self._run = _run
+
+    @classmethod
+    def from_store(cls, calib_dir, num_disparities=320, mode="full", **kw):
+        from stereovision_tpu.io.store import CalibrationStore
+
+        cal = CalibrationStore(calib_dir).load("stereo_calibration_data")
+        return cls(cal, SGMParams(num_disparities=num_disparities, mode=mode), **kw)
+
+    def __call__(self, left, right) -> DepthResult:
+        disp, conf, depth = self._run(
+            jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32), *self._maps
+        )
+        return DepthResult(disp, conf, depth)
+
+    def point_cloud(self, result: DepthResult, Q) -> jax.Array:
+        return geom.reproject_image_to_3d(result.disparity, jnp.asarray(Q))
+
+
+def _rescale_calibration(cal: dict, scale: float):
+    """Reference load_stereo_calibration_with_scaling behavior
+    (fused_depth_map.py:307-442): rescale K and image size, re-rectify."""
+    size = tuple(int(v) for v in cal["img_size"])
+    proc = (max(32, int(size[0] * scale)) // 2 * 2, max(32, int(size[1] * scale)) // 2 * 2)
+    K1 = np.asarray(cal["mtx_left"], np.float64).copy()
+    K2 = np.asarray(cal["mtx_right"], np.float64).copy()
+    for K in (K1, K2):
+        K[0] *= proc[0] / size[0]
+        K[1] *= proc[1] / size[1]
+    R1, R2, P1, P2, Q = geom.stereo_rectify(
+        jnp.asarray(K1), jnp.asarray(np.ravel(cal["dist_left"])),
+        jnp.asarray(K2), jnp.asarray(np.ravel(cal["dist_right"])),
+        proc, jnp.asarray(cal["R"]), jnp.asarray(np.ravel(cal["T"])), alpha=0.0,
+    )
+    out = dict(cal)
+    out.update(
+        mtx_left=K1, mtx_right=K2, R1=np.asarray(R1), R2=np.asarray(R2),
+        P1=np.asarray(P1), P2=np.asarray(P2), Q=np.asarray(Q),
+        img_size=np.asarray(proc),
+    )
+    return proc, out
+
+
+class FusedPipeline:
+    """The three-method fusion engine as a stateful streaming object
+    (stereo + neural + motion depth, occlusion fallback) — the embeddable form
+    of apps/fused.py."""
+
+    def __init__(self, cal: dict, scale: float = 0.33, use_stereo=True,
+                 use_midas=True, use_flow=True, fusion_params=None):
+        from stereovision_tpu.fusion import FusionParams, OcclusionHysteresis
+        from stereovision_tpu.mono import FlowDepthParams, flow_depth_init
+        from stereovision_tpu.mono.nn import create_model
+
+        self.proc, self.cal = _rescale_calibration(cal, scale)
+        num_disp = max(16, int(320 * scale) // 16 * 16)
+        self.sgm = SGMParams(num_disparities=num_disp)
+        self.depth_pipe = DepthPipeline(self.cal, self.sgm)
+        self.fusion_params = fusion_params or FusionParams()
+        self.hysteresis = OcclusionHysteresis()
+        self.use_stereo = use_stereo
+        self.use_midas = use_midas
+        self.use_flow = use_flow
+        self.model = self.variables = None
+        if use_midas:
+            self.model, self.variables = create_model()
+        self.flow_state = (
+            flow_depth_init((self.proc[1], self.proc[0])) if use_flow else None
+        )
+        self.flow_params = FlowDepthParams()
+        self._frame = 0
+
+    @classmethod
+    def from_store(cls, calib_dir, **kw):
+        from stereovision_tpu.io.store import CalibrationStore
+
+        cal = CalibrationStore(calib_dir).load("stereo_calibration_data")
+        return cls(cal, **kw)
+
+    def __call__(self, left, right, t_now: float):
+        from stereovision_tpu.fusion import (
+            calibrate_midas_to_stereo, classify_occlusion, fuse_depth_maps,
+            fused_to_meters, normalize_to_stereo_range, occlusion_scores,
+        )
+        from stereovision_tpu.mono import flow_depth_step
+        from stereovision_tpu.mono.nn import estimate_depth
+
+        h, w = self.proc[1], self.proc[0]
+        lr = im.remap(im.resize(jnp.asarray(left, jnp.float32), (h, w)), *self.depth_pipe._maps[:2])
+        rr = im.remap(im.resize(jnp.asarray(right, jnp.float32), (h, w)), *self.depth_pipe._maps[2:])
+
+        if self._frame % 2 == 0:
+            ls, rs = occlusion_scores(lr, rr)
+            state = self.hysteresis.update(classify_occlusion(float(ls), float(rs)))
+        else:
+            state = self.hysteresis.state
+        self._frame += 1
+        stereo_on = self.use_stereo and self.hysteresis.stereo_enabled
+
+        stereo_norm = stereo_conf = None
+        if stereo_on:
+            disp, stereo_conf = disparity_with_confidence(lr, rr, self.sgm)
+            stereo_norm = jnp.clip(disp / self.sgm.num_disparities * 255.0, 0, 255)
+
+        midas_cal = midas_conf = None
+        if self.use_midas:
+            frame_bgr = jnp.stack([lr] * 3, axis=-1)
+            md, midas_conf = estimate_depth(self.model, self.variables, frame_bgr)
+            midas_cal = (
+                calibrate_midas_to_stereo(md, stereo_norm, stereo_conf)
+                if stereo_norm is not None else md
+            )
+
+        flow_norm = None
+        moving = False
+        if self.flow_state is not None:
+            src_img = rr if state == "left" else lr
+            self.flow_state, fd, has, mv = flow_depth_step(
+                self.flow_state, src_img, jnp.float32(t_now), self.flow_params
+            )
+            moving = bool(mv)
+            if bool(has):
+                ref = stereo_norm if stereo_norm is not None else fd
+                flow_norm = normalize_to_stereo_range(fd, ref)
+
+        have = (stereo_norm is not None, midas_cal is not None, flow_norm is not None)
+        if not any(have):
+            return None
+        fused, conf, mode = fuse_depth_maps(
+            stereo_norm, stereo_conf, midas_cal, midas_conf, flow_norm,
+            jnp.asarray(moving), self.fusion_params,
+            have_stereo=have[0], have_midas=have[1], have_flow=have[2],
+        )
+        meters = fused_to_meters(
+            fused, self.depth_pipe.focal, self.depth_pipe.baseline_m * 100.0,
+            num_disparities=float(self.sgm.num_disparities),
+        )
+        return {
+            "fused": fused, "confidence": conf, "meters": meters,
+            "mode": int(mode), "occlusion": state, "camera_moving": moving,
+        }

@@ -1,0 +1,87 @@
+"""High-level pipeline API over a synthetic calibrated rig."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stereovision_tpu.core import geometry as geom
+
+RNG = np.random.default_rng(81)
+
+
+@pytest.fixture(scope="module")
+def rig_calibration():
+    """A consistent stereo calibration dict (identity-ish rig, cm units)."""
+    W, H = 256, 192
+    K = np.array([[250.0, 0, 128], [0, 250.0, 96], [0, 0, 1]])
+    R = np.eye(3)
+    T = np.array([-5.0, 0.0, 0.0])
+    d0 = np.zeros(5)
+    R1, R2, P1, P2, Q = geom.stereo_rectify(
+        jnp.asarray(K), jnp.asarray(d0), jnp.asarray(K), jnp.asarray(d0),
+        (W, H), jnp.asarray(R), jnp.asarray(T), alpha=0.0)
+    return {
+        "mtx_left": K, "mtx_right": K, "dist_left": d0, "dist_right": d0,
+        "R": R, "T": T.reshape(3, 1),
+        "R1": np.asarray(R1), "R2": np.asarray(R2),
+        "P1": np.asarray(P1), "P2": np.asarray(P2), "Q": np.asarray(Q),
+        "img_size": np.asarray([W, H]),
+    }
+
+
+def stereo_pair(disp=8, W=256, H=192):
+    base = RNG.uniform(0, 255, (H, W + disp + 4)).astype(np.float32)
+    k = np.ones((5, 5), np.float32) / 25.0
+    from scipy.signal import convolve2d
+
+    base = convolve2d(base, k, mode="same", boundary="symm").astype(np.float32)
+    return base[:, :W], base[:, disp : disp + W]
+
+
+class TestDepthPipeline:
+    def test_end_to_end_metric_depth(self, rig_calibration):
+        from stereovision_tpu.pipeline import DepthPipeline
+        from stereovision_tpu.stereo import SGMParams
+
+        left, right = stereo_pair(disp=8)
+        pipe = DepthPipeline(rig_calibration, SGMParams(num_disparities=32, impl="xla"),
+                             min_depth=0.1, max_depth=5.0)
+        res = pipe(left, right)
+        d = np.asarray(res.disparity)
+        c = np.asarray(res.confidence)
+        good = d[20:-20, 40:-20][c[20:-20, 40:-20] > 0]
+        assert abs(np.median(good) - 8) < 0.5
+        # depth = f*B/d = 250 * 0.05 / 8 = 1.5625 m
+        z = np.asarray(res.depth_m)[20:-20, 40:-20]
+        z = z[z > 0]
+        assert abs(np.median(z) - 1.5625) < 0.05, np.median(z)
+
+    def test_point_cloud(self, rig_calibration):
+        from stereovision_tpu.pipeline import DepthPipeline
+        from stereovision_tpu.stereo import SGMParams
+
+        left, right = stereo_pair(disp=8)
+        pipe = DepthPipeline(rig_calibration, SGMParams(num_disparities=32, impl="xla"))
+        res = pipe(left, right)
+        pts = np.asarray(pipe.point_cloud(res, rig_calibration["Q"]))
+        assert pts.shape == (192, 256, 3)
+        # Q units are cm here: median Z ≈ 250*5/8 = 156.25 cm
+        zc = pts[20:-20, 40:-20, 2][np.asarray(res.confidence)[20:-20, 40:-20] > 0]
+        assert abs(np.median(zc) - 156.25) < 5.0, np.median(zc)
+
+
+class TestFusedPipeline:
+    def test_streaming_fusion(self, rig_calibration):
+        from stereovision_tpu.pipeline import FusedPipeline
+
+        pipe = FusedPipeline(rig_calibration, scale=0.75, use_midas=False)
+        left, right = stereo_pair(disp=8)
+        out = None
+        for k in range(3):
+            out = pipe(np.roll(left, k, 1), np.roll(right, k, 1), t_now=0.1 * k)
+        assert out is not None
+        assert out["mode"] == 1  # stereo base
+        f = np.asarray(out["fused"])
+        assert f.max() <= 255.0 and f.max() > 0
+        m = np.asarray(out["meters"])
+        assert m.min() >= 0.05 and m.max() <= 30.0
