@@ -215,7 +215,21 @@ def _write_rectification_check(args, cal, size, scanlines: bool):
 
 
 def main(argv=None):
+    # Calibration is offline host work: the LM solvers want f64 and the board
+    # detector compiles several small programs — pin CPU unless asked
+    # (on a TPU tunnel each accelerator compile costs minutes; the depth/fused
+    # CLIs keep the accelerator where the per-frame engine earns it).
+    import jax
+
+    if "--accelerator" not in (argv or sys.argv):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized by the caller
+    jax.config.update("jax_enable_x64", True)
     ap = argparse.ArgumentParser(prog="stereovision_tpu.apps.calibrate")
+    ap.add_argument("--accelerator", action="store_true",
+                    help="run calibration math on the default accelerator")
     sub = ap.add_subparsers(dest="cmd", required=True)
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument("--images", required=True)

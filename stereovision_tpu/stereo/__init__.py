@@ -1,1 +1,6 @@
-from stereovision_tpu.stereo.sgm import SGMParams, compute_disparity, disparity_with_confidence  # noqa: F401
+from stereovision_tpu.stereo.sgm import (  # noqa: F401
+    SGMParams,
+    compute_disparity,
+    disparity_with_confidence,
+    reference_preset,
+)

@@ -68,6 +68,18 @@ class SGMParams:
     refine_range: int = 128
 
 
+def reference_preset(mode: str = "hier") -> "SGMParams":
+    """The reference's exact SGBM search configuration (depth_map.py:31-33,
+    894-906): 320 disparities from 0, blockSize-7-analog census support,
+    uniqueness 10, disp12MaxDiff 1, speckle 100/32, median post-filter."""
+    return SGMParams(
+        min_disparity=0, num_disparities=320,
+        uniqueness_ratio=10, lr_max_diff=1,
+        speckle_window_size=100, speckle_range=32.0, median_ksize=5,
+        mode=mode,
+    )
+
+
 def _resolve_impl(impl: str) -> str:
     if impl != "auto":
         return impl
