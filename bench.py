@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 H, W, D = 720, 1280, 320
-BATCH = 4  # frames in flight per measurement step (throughput metric)
+BATCH = 8  # frames in flight per measurement step (throughput metric)
 
 
 def make_pair():

@@ -69,8 +69,11 @@ def _cost_kernel(
             clv = jax.lax.slice_in_dim(cls[word], xx, xx + 1, axis=1)
             crv = jax.lax.slice_in_dim(crs[word], bw - 1 - xx, bw - 1 - xx + d, axis=1)
             cost = cost + jax.lax.population_count(clv ^ crv).astype(jnp.float32)
-        # mask disparities that reach left of the image: x - min_d - d < 0
+        # mask disparities whose right-image column leaves the image:
+        # x - min_d - d < 0 (left edge) or > W-1 (right edge, min_d < 0)
         cost = jnp.where(d_iota > (x0 + xx) - min_d, max_cost, cost)
+        if min_d < 0:
+            cost = jnp.where((x0 + xx) - min_d - d_iota > w - 1, max_cost, cost)
         # lane-padding disparities beyond the requested range: census costs are
         # strictly below PAD_COST, so padded lanes can never win an argmin
         if d_valid < d:
@@ -144,11 +147,27 @@ def cost_volume(
 
 
 def _sgm_step(prev, c, p1, p2):
+    """One SGM recurrence step over (…, D) — shared by the Pallas kernels and
+    the XLA scan path (stereo.sgm), which must stay bit-identical."""
     min_prev = jnp.min(prev, axis=-1, keepdims=True)
-    shift_m = jnp.concatenate([jnp.full_like(prev[:, :1], _BIG), prev[:, :-1]], axis=-1)
-    shift_p = jnp.concatenate([prev[:, 1:], jnp.full_like(prev[:, :1], _BIG)], axis=-1)
+    shift_m = jnp.concatenate([jnp.full_like(prev[..., :1], _BIG), prev[..., :-1]], axis=-1)
+    shift_p = jnp.concatenate([prev[..., 1:], jnp.full_like(prev[..., :1], _BIG)], axis=-1)
     best = jnp.minimum(jnp.minimum(prev, min_prev + p2), jnp.minimum(shift_m, shift_p) + p1)
     return c + best - min_prev
+
+
+def _wta_stats(s):
+    """Winner statistics over the last (disparity) axis of s (…, D):
+    (best, idx, cost[idx−1], cost[idx+1], best competitor with |d−idx|>1).
+    Single source of truth for both the fused-aggregation and standalone WTA
+    kernels."""
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+    best = jnp.min(s, axis=-1)
+    idx = jnp.min(jnp.where(s == best[..., None], d_iota, jnp.int32(1 << 30)), axis=-1)
+    cm = jnp.min(jnp.where(d_iota == idx[..., None] - 1, s, _BIG), axis=-1)
+    cp = jnp.min(jnp.where(d_iota == idx[..., None] + 1, s, _BIG), axis=-1)
+    comp = jnp.min(jnp.where(jnp.abs(d_iota - idx[..., None]) > 1, s, _BIG), axis=-1)
+    return best, idx, cm, cp, comp
 
 
 def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis, wta_out):
@@ -209,19 +228,12 @@ def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis, wta_out):
             final = lbuf_ref[:]
         out_ref[:] = final.astype(out_ref.dtype)
     if wta_out:
-        s = out_ref[:].astype(jnp.float32)
-        d_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        best = jnp.min(s, axis=-1)
-        idx = jnp.min(
-            jnp.where(s == best[..., None], d_iota, jnp.int32(1 << 30)), axis=-1
-        )
+        best, idx, cm, cp, comp = _wta_stats(out_ref[:].astype(jnp.float32))
         best_ref[:] = best
         idx_ref[:] = idx
-        cm_ref[:] = jnp.min(jnp.where(d_iota == idx[..., None] - 1, s, _BIG), axis=-1)
-        cp_ref[:] = jnp.min(jnp.where(d_iota == idx[..., None] + 1, s, _BIG), axis=-1)
-        comp_ref[:] = jnp.min(
-            jnp.where(jnp.abs(d_iota - idx[..., None]) > 1, s, _BIG), axis=-1
-        )
+        cm_ref[:] = cm
+        cp_ref[:] = cp
+        comp_ref[:] = comp
 
 
 @functools.partial(
@@ -418,10 +430,12 @@ def right_disparity(
 # ---------------------------------------------------------------------------
 
 
-def _shift_gather_kernel(src_ref, off_ref, out_ref, acc_ref, *, bs: int, max_offset: int):
-    # out[y, x] = src[y, x − off[y, x]] for 0 ≤ off < max_offset, via
-    # roll-and-select: Σ_s (off == s)·roll(src, s). A per-pixel lane gather is
-    # not expressible on TPU; max_offset rolls of the row block are cheap.
+def _shift_gather_kernel(src_ref, off_ref, out_ref, acc_ref, *, bs: int):
+    # out[y, x] = src[y, x − off[y, x]], via roll-and-select:
+    # Σ_s (off == s ∧ x ≥ s)·roll(src, s). A per-pixel lane gather is not
+    # expressible on TPU; max_offset rolls of the row block are cheap. The
+    # x ≥ s guard keeps the circular roll's wrap from leaking right-edge
+    # pixels into out-of-range offsets.
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -430,11 +444,12 @@ def _shift_gather_kernel(src_ref, off_ref, out_ref, acc_ref, *, bs: int, max_off
 
     off = off_ref[:]
     src = src_ref[:]
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, off.shape, 1)
 
     def body(ss, _):
         s = j * bs + ss
         rolled = pltpu.roll(src, s, 1)
-        acc_ref[:] = jnp.where(off == s, rolled, acc_ref[:])
+        acc_ref[:] = jnp.where((off == s) & (x_iota >= s), rolled, acc_ref[:])
         return 0
 
     jax.lax.fori_loop(0, bs, body, 0)
@@ -451,9 +466,10 @@ def shift_gather(
     interpret: bool = False,
 ) -> jax.Array:
     """(H, W) src, (H, W) int32 offsets in [0, max_offset) →
-    out[y, x] = src[y, x − offsets[y, x]] (clamped semantics: out-of-range
-    offsets select nothing → 0). Replaces per-pixel take_along_axis gathers
-    (≈9 ms at 720p) with max_offset lane rotates (≈1 ms)."""
+    out[y, x] = src[y, x − offsets[y, x]]; entries whose offset is outside
+    [0, max_offset) or reaches left of the image (off > x) come back 0.
+    Replaces per-pixel take_along_axis gathers (≈9 ms at 720p) with max_offset
+    lane rotates (≈1 ms)."""
     H, W = src.shape
     Wp = -(-W // 128) * 128
     if Wp != W:
@@ -462,7 +478,7 @@ def shift_gather(
     nh = pl.cdiv(H, block_h)
     ns = pl.cdiv(max_offset, block_s)
     out = pl.pallas_call(
-        functools.partial(_shift_gather_kernel, bs=block_s, max_offset=max_offset),
+        functools.partial(_shift_gather_kernel, bs=block_s),
         grid=(nh, ns),
         in_specs=[
             pl.BlockSpec((block_h, Wp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -482,19 +498,12 @@ def shift_gather(
 
 
 def _wta_kernel(agg_ref, best_ref, idx_ref, cm_ref, cp_ref, comp_ref):
-    s = agg_ref[:].astype(jnp.float32)  # (BH, BW, D)
-    d_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-    best = jnp.min(s, axis=-1)
-    # argmin via masked-iota min (ties → smallest d, matching jnp.argmin)
-    idx = jnp.min(jnp.where(s == best[..., None], d_iota, jnp.int32(1 << 30)), axis=-1)
-    onehot_m = d_iota == (idx[..., None] - 1)
-    onehot_p = d_iota == (idx[..., None] + 1)
-    far = jnp.abs(d_iota - idx[..., None]) > 1
+    best, idx, cm, cp, comp = _wta_stats(agg_ref[:].astype(jnp.float32))
     best_ref[:] = best
     idx_ref[:] = idx
-    cm_ref[:] = jnp.min(jnp.where(onehot_m, s, _BIG), axis=-1)
-    cp_ref[:] = jnp.min(jnp.where(onehot_p, s, _BIG), axis=-1)
-    comp_ref[:] = jnp.min(jnp.where(far, s, _BIG), axis=-1)
+    cm_ref[:] = cm
+    cp_ref[:] = cp
+    comp_ref[:] = comp
 
 
 @functools.partial(jax.jit, static_argnames=("block_h", "block_w", "interpret"))

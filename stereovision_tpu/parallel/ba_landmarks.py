@@ -43,7 +43,10 @@ def _project(intr, pose, X):
     """intr (4,) fx fy cx cy (no distortion for the SfM stage); X (..., 3)."""
     R = geom.rodrigues(pose[:3])
     cam = X @ R.T + pose[3:]
-    z = jnp.where(jnp.abs(cam[..., 2:3]) < 1e-9, 1e-9, cam[..., 2:3])
+    z_raw = cam[..., 2:3]
+    # sign-preserving clamp: a point just behind the plane must not project as
+    # if in front (flipped residual signs would push LM the wrong way)
+    z = jnp.sign(jnp.where(z_raw == 0, 1.0, z_raw)) * jnp.maximum(jnp.abs(z_raw), 1e-9)
     xy = cam[..., :2] / z
     return xy * intr[:2] + intr[2:]
 
@@ -68,11 +71,9 @@ def distributed_slam_ba(
     lam: float = 1e-3,
 ):
     """Returns (poses (F, 6), landmarks (L, 3), rms)."""
-    F = poses0.shape[0]
     L = landmarks0.shape[0]
 
     def body(uv_sh, lid_sh, mask_sh, poses_sh, lm):
-        lm = lm.reshape(L, 3)
         n_local = uv_sh.shape[0]
         frame0 = jax.lax.axis_index("frame") == 0
 
@@ -193,7 +194,7 @@ def distributed_slam_ba(
         )
         n_obs = jax.lax.psum(jnp.sum(mask_sh), "frame")
         rms = jnp.sqrt(cost_f / jnp.maximum(n_obs, 1))
-        return poses_f, lm_f.reshape(1, L, 3), rms.reshape(1)
+        return poses_f, lm_f, rms
 
     fn = shard_map(
         body,
@@ -208,6 +209,6 @@ def distributed_slam_ba(
         jax.device_put(obs_lid, sh),
         jax.device_put(obs_mask, sh),
         jax.device_put(poses0, sh),
-        landmarks0.reshape(1, L, 3),
+        landmarks0,
     )
-    return poses, lms[0], rms[0]
+    return poses, lms, rms

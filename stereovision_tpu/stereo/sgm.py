@@ -105,7 +105,7 @@ def census_cost_volume(left: jax.Array, right: jax.Array, p: SGMParams) -> jax.A
     x = jnp.arange(W)
     d = jnp.arange(D) + p.min_disparity
     src = x[None, :] - d[:, None]                      # (D, W)
-    valid = src >= 0
+    valid = (src >= 0) & (src <= W - 1)  # right edge matters for min_d < 0
     src = jnp.clip(src, 0, W - 1)
     # Gather right census at shifted columns: (D, H, W, nw).
     cr_shift = cr[:, src, :]                           # (H, D, W, nw)
@@ -120,26 +120,17 @@ def census_cost_volume(left: jax.Array, right: jax.Array, p: SGMParams) -> jax.A
 # ---------------------------------------------------------------------------
 
 
-def _path_step(prev_l: jax.Array, cost_slice: jax.Array, p1: float, p2: float) -> jax.Array:
-    """One SGM recurrence step, vectorized over (…, D).
-
-    L(d) = C(d) + min(Lp(d), Lp(d−1)+P1, Lp(d+1)+P1, minLp+P2) − minLp
-    """
-    min_prev = jnp.min(prev_l, axis=-1, keepdims=True)
-    shift_m = jnp.concatenate([jnp.full_like(prev_l[..., :1], _BIG), prev_l[..., :-1]], axis=-1)
-    shift_p = jnp.concatenate([prev_l[..., 1:], jnp.full_like(prev_l[..., :1], _BIG)], axis=-1)
-    best = jnp.minimum(
-        jnp.minimum(prev_l, min_prev + p2),
-        jnp.minimum(shift_m, shift_p) + p1,
-    )
-    return cost_slice + best - min_prev
-
-
 def _aggregate_dir(cost_sw: jax.Array, p1: float, p2: float) -> jax.Array:
-    """Aggregate along the leading (scan) axis: (S, X, D) → (S, X, D)."""
+    """Aggregate along the leading (scan) axis: (S, X, D) → (S, X, D).
+
+    The recurrence L(d) = C(d) + min(Lp(d), Lp(d±1)+P1, minLp+P2) − minLp is
+    shared with the Pallas kernels (ops.sgm_pallas._sgm_step) so the two
+    implementations stay bit-identical.
+    """
+    from stereovision_tpu.ops.sgm_pallas import _sgm_step
 
     def step(carry, c):
-        l = _path_step(carry, c, p1, p2)
+        l = _sgm_step(carry, c, p1, p2)
         return l, l
 
     _, ls = jax.lax.scan(step, cost_sw[0], cost_sw[1:])
@@ -276,20 +267,24 @@ def _left_right_check(agg: jax.Array, disp: jax.Array, p: SGMParams) -> jax.Arra
         disp_r_idx = sgm_pallas.right_disparity(
             agg, D, interpret=(impl == "pallas_interpret")
         )
-    disp_r = disp_r_idx.astype(jnp.float32) + p.min_disparity  # (H, W), at right pixels
-    # Look up dR at the matching right pixel u = x − round(dL)
+    disp_r = disp_r_idx.astype(jnp.float32) + p.min_disparity
+    # disp_r's array index u holds the disparity of RIGHT pixel u − min_d (the
+    # diagonal S[y, u+i, i] covers left pixel u+i matching right pixel
+    # (u+i)−(min_d+i) = u−min_d). Right pixel r0 = x − round(dL) therefore
+    # lives at array index r0 + min_d, i.e. offset round(dL) − min_d from x.
     x = jnp.arange(W)
     if impl == "xla":
-        u = jnp.clip(x[None, :] - jnp.round(disp).astype(jnp.int32), 0, W - 1)
+        u = jnp.clip(
+            x[None, :] - jnp.round(disp).astype(jnp.int32) + p.min_disparity, 0, W - 1
+        )
         dr_at = jnp.take_along_axis(disp_r, u, axis=-1)
     else:
         from stereovision_tpu.ops import sgm_pallas
 
-        off = jnp.minimum(jnp.round(disp).astype(jnp.int32), x[None, :])
-        off = jnp.maximum(off, 0)
+        off = jnp.round(disp).astype(jnp.int32) - p.min_disparity
+        off = jnp.clip(off, 0, x[None, :])
         dr_at = sgm_pallas.shift_gather(
-            disp_r, off, p.min_disparity + D + 1,
-            interpret=(impl == "pallas_interpret"),
+            disp_r, off, D + 1, interpret=(impl == "pallas_interpret")
         )
     return jnp.abs(disp - dr_at) <= p.lr_max_diff
 

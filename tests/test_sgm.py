@@ -172,3 +172,30 @@ class TestOcclusion:
         corrupted = valid[10:-10, 70:86]
         clean = valid[10:-10, 110:150]
         assert corrupted.mean() < 0.5 * clean.mean() + 0.2
+
+
+class TestMinDisparity:
+    def test_nonzero_min_disparity_with_lr_check(self):
+        """Regression: the LR lookup must offset by min_disparity (the right
+        view's disparity array is indexed at right-pixel + min_d)."""
+        shift = 24
+        left, right = shifted_pair(h=96, w=192, shift=shift)
+        p = SGMParams(min_disparity=16, num_disparities=32)
+        disp, valid = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
+        disp, valid = np.asarray(disp), np.asarray(valid)
+        vi = valid[8:-8, 60:-8]
+        assert vi.mean() > 0.85, vi.mean()
+        err = np.abs(disp[8:-8, 60:-8][vi] - shift)
+        assert np.median(err) < 0.5, np.median(err)
+
+    def test_pallas_parity_nonzero_min_disparity(self):
+        import dataclasses
+
+        shift = 24
+        left, right = shifted_pair(h=48, w=120, shift=shift)
+        p_x = SGMParams(min_disparity=16, num_disparities=16, impl="xla")
+        p_p = dataclasses.replace(p_x, impl="pallas_interpret")
+        dx, vx = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_x)
+        dp, vp = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_p)
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dx), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(vx))
