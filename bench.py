@@ -39,18 +39,14 @@ def bench_tpu(left_np, right_np):
     import jax
     import jax.numpy as jnp
 
-    from stereovision_tpu.stereo import SGMParams, compute_disparity
+    from stereovision_tpu.stereo import SGMParams, compute_disparity_batch
 
     # the production engine: hierarchical coarse-to-fine over the reference's
     # full 320-disparity range (full-search mode: SGMParams(mode="full"))
     params = SGMParams(num_disparities=D, mode="hier")
     left = jnp.stack([jnp.asarray(left_np)] * BATCH)
     right = jnp.stack([jnp.asarray(right_np)] * BATCH)
-    # lax.map keeps one frame's cost volumes live at a time (vmap would
-    # multiply the ~GB volumes by BATCH and blow HBM)
-    fn = jax.jit(
-        lambda ls, rs: jax.lax.map(lambda p: compute_disparity(p[0], p[1], params), (ls, rs))
-    )
+    fn = jax.jit(lambda ls, rs: compute_disparity_batch(ls, rs, params))
     disp, _ = fn(left, right)
     float(jnp.sum(disp))  # force full execution through the async tunnel
     n = 3

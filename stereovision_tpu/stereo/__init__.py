@@ -1,6 +1,7 @@
 from stereovision_tpu.stereo.sgm import (  # noqa: F401
     SGMParams,
     compute_disparity,
+    compute_disparity_batch,
     disparity_with_confidence,
     reference_preset,
 )

@@ -467,6 +467,19 @@ def _compute_disparity_hier(left, right, p: SGMParams):
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
+def compute_disparity_batch(lefts, rights, params: SGMParams = SGMParams()):
+    """Throughput form: (B, H, W) pairs → batched (disparity, valid).
+
+    Frames run sequentially on-device (``lax.map``) so only one frame's cost
+    volumes are live — ``vmap`` would multiply the GB-scale volumes by B and
+    exhaust HBM. Per-frame dispatch overhead amortizes across the batch (this
+    is the shape the 720p benchmark uses). For multi-chip batching see
+    ``parallel.sharded_disparity``.
+    """
+    return jax.lax.map(lambda p: compute_disparity(p[0], p[1], params), (lefts, rights))
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
 def disparity_with_confidence(left, right, params: SGMParams = SGMParams()):
     """Disparity + the reference's confidence contract: 1.0 where disparity is
     strictly inside (min+1, min+num−1) and valid, else 0.0

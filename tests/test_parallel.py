@@ -36,3 +36,32 @@ class TestShardedDisparity:
         both = v & np.asarray(v_ref)
         agree = np.abs(d - np.asarray(d_ref))[both]
         assert (agree < 1.0).mean() > 0.95, (agree < 1.0).mean()
+
+
+class TestShardedHier:
+    def test_hier_mode_through_sharding(self):
+        """Hierarchical engine under frame+tile sharding (erosion/warp are
+        row-local, so tiling rows is safe)."""
+        left, right = pair_batch(b=2, h=128, w=96, shift=5)
+        p = SGMParams(num_disparities=40, mode="hier", coarse_scale=2,
+                      refine_range=16, impl="xla", speckle_window_size=0)
+        import jax
+
+        mesh = make_mesh(frame=2, tile=2, devices=jax.devices()[:4])
+        disp, valid = sharded_disparity(jnp.asarray(left), jnp.asarray(right), p, mesh)
+        d, v = np.asarray(disp[0]), np.asarray(valid[0])
+        good = d[20:-20, 30:-10][v[20:-20, 30:-10]]
+        assert good.size > 500
+        assert abs(np.median(good) - 5) < 1.0, np.median(good)
+
+
+class TestBatchAPI:
+    def test_compute_disparity_batch(self):
+        from stereovision_tpu.stereo import compute_disparity_batch
+
+        left, right = pair_batch(b=3, h=48, w=96, shift=5)
+        p = SGMParams(num_disparities=16, impl="xla")
+        disp, valid = compute_disparity_batch(jnp.asarray(left), jnp.asarray(right), p)
+        assert disp.shape == (3, 48, 96)
+        ref, _ = compute_disparity(jnp.asarray(left[1]), jnp.asarray(right[1]), p)
+        np.testing.assert_allclose(np.asarray(disp[1]), np.asarray(ref), atol=1e-5)
