@@ -170,7 +170,7 @@ def _wta_stats(s):
     return best, idx, cm, cp, comp
 
 
-def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis, wta_out):
+def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis, wta_out, emit_transposed=False):
     # axis 0: the scan axis is the blocks' outer dim — dynamic loads/stores at
     # any dtype are legal, so refs are accessed directly. axis 1: the scan axis
     # is the sublane dim, where narrow-dtype (int8/int16) accesses at arbitrary
@@ -182,9 +182,12 @@ def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis, wta_out):
     cost_ref = refs.pop(0)
     acc_ref = refs.pop(0) if acc else None
     out_ref = refs.pop(0)
+    outt_ref = None
     if wta_out:
         best_ref, idx_ref, cm_ref, cp_ref, comp_ref = refs[:5]
         refs = refs[5:]
+        if emit_transposed:
+            outt_ref = refs.pop(0)
     if axis == 1:
         cbuf_ref, lbuf_ref, lprev_ref = refs
     else:
@@ -228,19 +231,24 @@ def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis, wta_out):
             final = lbuf_ref[:]
         out_ref[:] = final.astype(out_ref.dtype)
     if wta_out:
-        best, idx, cm, cp, comp = _wta_stats(out_ref[:].astype(jnp.float32))
+        final_f32 = out_ref[:].astype(jnp.float32)
+        best, idx, cm, cp, comp = _wta_stats(final_f32)
         best_ref[:] = best
         idx_ref[:] = idx
         cm_ref[:] = cm
         cp_ref[:] = cp
         comp_ref[:] = comp
+        if outt_ref is not None:
+            # (BS, BX, D) → (D, BS, BX): feeds right_disparity without the
+            # separate XLA transpose of the whole volume
+            outt_ref[:] = jnp.transpose(out_ref[:], (2, 0, 1))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "p1", "p2", "axis", "reverse", "block_s", "block_x", "out_dtype",
-        "wta_out", "interpret",
+        "wta_out", "emit_transposed", "interpret",
     ),
 )
 def aggregate_dir(
@@ -254,6 +262,7 @@ def aggregate_dir(
     block_x: int | None = None,
     out_dtype=None,
     wta_out: bool = False,
+    emit_transposed: bool = False,
     interpret: bool = False,
 ):
     """SGM path aggregation along ``axis`` (0 or 1) of cost (H, W, D).
@@ -314,6 +323,7 @@ def aggregate_dir(
     lprev = pltpu.VMEM((block_x, D), jnp.float32)
 
     assert not (wta_out and axis != 0), "wta_out requires an axis-0 final pass"
+    assert not (emit_transposed and not wta_out), "emit_transposed needs wta_out"
     out_sd = jax.ShapeDtypeStruct(cost.shape, out_dtype)
     spec = pl.BlockSpec(blk, index_map, memory_space=pltpu.VMEM)
     if axis == 1:
@@ -331,6 +341,16 @@ def aggregate_dir(
         i32hw = jax.ShapeDtypeStruct(cost.shape[:2], jnp.int32)
         out_specs = (spec, spec2, spec2, spec2, spec2, spec2)
         out_shape = (out_sd, f32hw, i32hw, f32hw, f32hw, f32hw)
+        if emit_transposed:
+            if reverse:
+                im3 = lambda i, j: (0, ns - 1 - j, i)  # noqa: E731
+            else:
+                im3 = lambda i, j: (0, j, i)  # noqa: E731
+            spec3 = pl.BlockSpec((D, block_s, block_x), im3, memory_space=pltpu.VMEM)
+            out_specs = out_specs + (spec3,)
+            out_shape = out_shape + (
+                jax.ShapeDtypeStruct((D, cost.shape[0], cost.shape[1]), out_dtype),
+            )
     kwargs = dict(
         grid=(nx, ns),
         out_specs=out_specs,
@@ -342,6 +362,7 @@ def aggregate_dir(
         _agg_kernel,
         ks=block_s, p1=float(p1), p2=float(p2), reverse=reverse,
         acc=acc is not None, axis=axis, wta_out=wta_out,
+        emit_transposed=emit_transposed,
     )
     if acc is None:
         out = pl.pallas_call(body, in_specs=[spec], **kwargs)(cost)
@@ -392,16 +413,24 @@ def _rdisp_kernel(aggt_ref, out_ref, best_ref, idx_ref, *, bd: int, d_valid: int
     out_ref[:] = idx_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("d_valid", "block_h", "block_d", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("d_valid", "block_h", "block_d", "pre_transposed", "interpret"),
+)
 def right_disparity(
-    agg: jax.Array, d_valid: int, block_h: int = 8, block_d: int = 32, interpret: bool = False
+    agg: jax.Array, d_valid: int, block_h: int = 8, block_d: int = 32,
+    pre_transposed: bool = False, interpret: bool = False,
 ):
     """(H, W, D) aggregated volume → (H, W) right-view disparity indices:
     dR(u) = argmin_{d<d_valid} agg[y, u+d, d] (cv2's disp12 companion view,
     computed from the same volume — no second matching pass)."""
-    H, W, D = agg.shape
+    if pre_transposed:  # (D, H, W) straight from the fused aggregation pass
+        aggt = agg
+        D, H, W = agg.shape
+    else:
+        H, W, D = agg.shape
+        aggt = jnp.transpose(agg, (2, 0, 1))  # (D, H, W)
     Wp = -(-W // 128) * 128  # lane-align for the dynamic rotate
-    aggt = jnp.transpose(agg, (2, 0, 1))  # (D, H, W)
     if Wp != W:
         aggt = jnp.pad(aggt, ((0, 0), (0, 0), (0, Wp - W)))
     nh = pl.cdiv(H, block_h)

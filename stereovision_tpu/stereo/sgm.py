@@ -238,7 +238,8 @@ def _wta(agg: jax.Array, p: SGMParams, stats=None):
     return disp.astype(jnp.float32) + p.min_disparity, unique_ok
 
 
-def _left_right_check(agg: jax.Array, disp: jax.Array, p: SGMParams) -> jax.Array:
+def _left_right_check(agg: jax.Array, disp: jax.Array, p: SGMParams,
+                      pre_transposed: bool = False) -> jax.Array:
     """Consistency: recompute the right image's disparity from the same volume
     (dR(u) = argmin_d S[y, u+d, d]) and require |dL(x) − dR(x − dL)| ≤ maxDiff.
     This is cv2's disp12MaxDiff without a second matching pass.
@@ -247,7 +248,10 @@ def _left_right_check(agg: jax.Array, disp: jax.Array, p: SGMParams) -> jax.Arra
     slice + lane rotate per d) on TPU, a D-step dynamic-slice loop on CPU —
     a broadcasted gather of the same data is ~100× slower on TPU.
     """
-    H, W = agg.shape[0], agg.shape[1]
+    if pre_transposed:
+        H, W = agg.shape[1], agg.shape[2]
+    else:
+        H, W = agg.shape[0], agg.shape[1]
     D = p.num_disparities  # agg may carry padded lanes beyond D; skip them
     impl = _resolve_impl(p.impl)
     if impl == "xla":
@@ -265,7 +269,8 @@ def _left_right_check(agg: jax.Array, disp: jax.Array, p: SGMParams) -> jax.Arra
         from stereovision_tpu.ops import sgm_pallas
 
         disp_r_idx = sgm_pallas.right_disparity(
-            agg, D, interpret=(impl == "pallas_interpret")
+            agg, D, pre_transposed=pre_transposed,
+            interpret=(impl == "pallas_interpret"),
         )
     disp_r = disp_r_idx.astype(jnp.float32) + p.min_disparity
     # disp_r's array index u holds the disparity of RIGHT pixel u − min_d (the
@@ -351,8 +356,11 @@ def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
     s = agg(cost, axis=1)
     s = agg(cost, axis=1, reverse=True, acc=s)
     s = agg(cost, axis=0, acc=s)
+    # note: aggregate_dir(emit_transposed=True) can emit the (D, H, W) copy the
+    # LR check consumes, but the in-kernel relayout measured slower than the
+    # XLA transpose it replaces (and forces smaller blocks) — not used
     s, best, idx, cm, cp, comp = agg(cost, axis=0, reverse=True, acc=s, wta_out=True)
-    return s, (best, idx, cm, cp, comp)
+    return s, (best, idx, cm, cp, comp), None
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -373,16 +381,18 @@ def compute_disparity(left: jax.Array, right: jax.Array, params: SGMParams = SGM
     right = right.astype(jnp.float32)
     impl = _resolve_impl(params.impl)
     stats = None
+    agg_t = None
     if impl == "xla":
         cost = census_cost_volume(left, right, params)
         agg = aggregate(cost, params)
     else:
-        agg, stats = _cost_aggregate_pallas(
+        agg, stats, agg_t = _cost_aggregate_pallas(
             left, right, params, impl == "pallas_interpret"
         )
     disp, valid = _wta(agg, params, stats)
     if params.lr_max_diff >= 0:
-        valid = valid & _left_right_check(agg, disp, params)
+        valid = valid & _left_right_check(agg if agg_t is None else agg_t, disp,
+                                          params, pre_transposed=agg_t is not None)
     valid = _speckle_suppress(disp, valid, params)
     if params.median_ksize > 1:
         disp = im.median_blur(disp, params.median_ksize)
