@@ -85,3 +85,29 @@ class TestFusedPipeline:
         assert f.max() <= 255.0 and f.max() > 0
         m = np.asarray(out["meters"])
         assert m.min() >= 0.05 and m.max() <= 30.0
+
+
+class TestOcclusionFallback:
+    def test_stereo_disables_on_covered_camera(self, rig_calibration):
+        """The sensor-fault degradation path (reference fused_depth_map.py
+        :2515-2571): cover the left camera for >5 checked frames → hysteresis
+        flips, stereo turns off, fusion continues on the remaining methods."""
+        from stereovision_tpu.pipeline import FusedPipeline
+
+        pipe = FusedPipeline(rig_calibration, scale=0.75, use_midas=True)
+        # sharp, high-contrast texture: the un-occluded camera must score well
+        # below the 0.6x asymmetry guard (smoothed noise would not)
+        sharp = RNG.uniform(0, 255, (192, 264)).astype(np.float32)
+        left, right = sharp[:, :256], sharp[:, 8:264]
+        covered = np.full_like(left, 15.0)  # dark flat = lens covered
+        out = None
+        for k in range(14):  # occlusion checked every 2nd frame; 5 to confirm
+            out = pipe(covered, right, t_now=0.1 * k)
+        assert pipe.hysteresis.state == "left"
+        assert not pipe.hysteresis.stereo_enabled
+        assert out is not None and out["mode"] in (2, 3)  # midas or flow base
+        # uncover → recovers after another confirmation run
+        for k in range(14, 28):
+            out = pipe(left, right, t_now=0.1 * k)
+        assert pipe.hysteresis.state == "none"
+        assert out["mode"] == 1  # stereo base again
