@@ -199,3 +199,35 @@ class TestMinDisparity:
         dp, vp = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_p)
         np.testing.assert_allclose(np.asarray(dp), np.asarray(dx), atol=1e-4)
         np.testing.assert_array_equal(np.asarray(vp), np.asarray(vx))
+
+
+class TestShadedScene:
+    def test_quality_on_shaded_boxes(self):
+        """A more photographic anchor: gradient-shaded boxes over a shaded
+        background (smooth intensity + texture, occlusion boundaries)."""
+        rng = np.random.default_rng(13)
+        H, W = 120, 220
+        yy, xx = np.mgrid[0:H, 0:W + 40].astype(np.float32)
+        base = 90 + 50 * np.sin(xx / 37.0) + 30 * np.cos(yy / 23.0)
+        base += cv2.GaussianBlur(rng.uniform(-25, 25, base.shape).astype(np.float32), (3, 3), 0.8)
+        left = base[:, :W].copy()
+        right = base[:, 5 : 5 + W].copy()  # background disparity 5
+        gt = np.full((H, W), 5.0, np.float32)
+        for (y0, x0, h, w, d) in ((20, 40, 40, 50, 18), (65, 120, 35, 60, 12)):
+            box = 60 + 70 * np.outer(np.linspace(0, 1, h), np.linspace(1, 0.4, w))
+            box += cv2.GaussianBlur(rng.uniform(-20, 20, box.shape).astype(np.float32), (3, 3), 0.8)
+            left[y0:y0 + h, x0:x0 + w] = box
+            right[y0:y0 + h, x0 - d:x0 - d + w] = box
+            gt[y0:y0 + h, x0:x0 + w] = d
+        p = SGMParams(num_disparities=32)
+        disp, valid = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
+        d, v = np.asarray(disp), np.asarray(valid)
+        inner = np.s_[8:-8, 40:-8]
+        err = np.abs(d[inner] - gt[inner])[v[inner]]
+        assert v[inner].mean() > 0.8, v[inner].mean()
+        assert np.median(err) < 0.6, np.median(err)
+        # the two boxes are recovered at their disparities
+        for (y0, x0, h, w, dd) in ((20, 40, 40, 50, 18), (65, 120, 35, 60, 12)):
+            core = d[y0 + 8:y0 + h - 8, x0 + 8:x0 + w - 8]
+            cv_ = v[y0 + 8:y0 + h - 8, x0 + 8:x0 + w - 8]
+            assert abs(np.median(core[cv_]) - dd) < 1.0, (dd, np.median(core[cv_]))
