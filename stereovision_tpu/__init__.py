@@ -19,3 +19,20 @@ AlexGr5/StereoVision reference pipeline (surveyed in SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+# headline API at the package root (submodules hold the full surface)
+from stereovision_tpu.stereo import (  # noqa: E402,F401
+    SGMParams,
+    compute_disparity,
+    compute_disparity_batch,
+    disparity_with_confidence,
+    reference_preset,
+)
+
+
+def __getattr__(name):  # lazy: pipelines pull optional heavy deps
+    if name in ("DepthPipeline", "FusedPipeline", "DepthResult"):
+        from stereovision_tpu import pipeline
+
+        return getattr(pipeline, name)
+    raise AttributeError(name)
