@@ -1,0 +1,141 @@
+"""Exact tile-parallel disparity: vertical SGM chained across devices.
+
+``parallel.disparity.sharded_disparity`` restarts the vertical paths at tile
+boundaries (halo warm-up absorbs most of the error). This module computes the
+*exact* single-device result under row-tiling:
+
+- census/cost and the two horizontal paths are row-local → exact per tile
+  (cost rows use census halo rows fetched over ICI);
+- the two vertical paths have a true cross-tile dependency: tile k's first row
+  needs tile k−1's final L row. The chain is evaluated with ``ntiles``
+  sequential sweeps — at sweep t the boundary produced by tile t−1 is final,
+  so after ntiles sweeps every tile has aggregated from its true predecessor
+  (each sweep ships one (W, D) boundary row per direction over ICI via
+  ``ppermute``);
+- WTA/uniqueness/LR are row-local; speckle/median see halo rows.
+
+The ntiles× revisit of the vertical scan is the price of exactness in the
+simple formulation (a frame-pipelined chain that hides it is round-2 work);
+horizontal paths — half the aggregation — run once. Built from the XLA
+building blocks so it runs anywhere (the Pallas kernels would need a boundary
+input — roadmap).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from stereovision_tpu.core import image as im
+from stereovision_tpu.ops.sgm_pallas import _sgm_step
+from stereovision_tpu.stereo import sgm as S
+
+
+def _scan_with_boundary(cost, boundary, fresh, p1, p2):
+    """Aggregate cost (S, X, D) along axis 0 starting from ``boundary`` (X, D)
+    unless ``fresh`` (bool scalar) — then the first row restarts."""
+
+    def step(carry, c):
+        l = _sgm_step(carry, c, p1, p2)
+        return l, l
+
+    first = jnp.where(fresh, cost[0], _sgm_step(boundary, cost[0], p1, p2))
+    _, ls = jax.lax.scan(step, first, cost[1:])
+    return jnp.concatenate([first[None], ls], axis=0)
+
+
+def _vertical_chain(cost, p1, p2, axis_name, reverse=False):
+    """Exact cross-tile vertical aggregation of the local slab (Sl, X, D)."""
+    ntiles = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    cost_dir = cost[::-1] if reverse else cost
+    X, D = cost.shape[1], cost.shape[2]
+    # tile order along the scan: top→bottom for fwd, bottom→top for reverse
+    pos = (ntiles - 1 - idx) if reverse else idx
+    perm = (
+        [(i, i - 1) for i in range(1, ntiles)]
+        if reverse
+        else [(i, i + 1) for i in range(ntiles - 1)]
+    )
+
+    boundary = jnp.zeros((X, D), cost.dtype)
+    l_slab = cost_dir  # placeholder; overwritten in the first sweep
+
+    def sweep(t, carry):
+        l_slab, boundary = carry
+        fresh = pos == 0
+        l_new = _scan_with_boundary(cost_dir, boundary, fresh, p1, p2)
+        # tiles whose predecessor isn't finalized yet keep provisional values;
+        # after `pos` sweeps the incoming boundary is final
+        l_slab = jnp.where(pos <= t, l_new, l_slab)
+        boundary_next = jax.lax.ppermute(l_new[-1], axis_name, perm)
+        return l_slab, boundary_next
+
+    l_slab, _ = jax.lax.fori_loop(0, ntiles, sweep, (l_slab, boundary))
+    return l_slab[::-1] if reverse else l_slab
+
+
+def _halo_exchange(img, halo, axis_name):
+    ntiles = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    top = jax.lax.ppermute(
+        img[-halo:], axis_name, [(i, (i + 1) % ntiles) for i in range(ntiles)]
+    )
+    bottom = jax.lax.ppermute(
+        img[:halo], axis_name, [(i, (i - 1) % ntiles) for i in range(ntiles)]
+    )
+    top = jnp.where(idx == 0, jnp.broadcast_to(img[:1], top.shape), top)
+    bottom = jnp.where(
+        idx == ntiles - 1, jnp.broadcast_to(img[-1:], bottom.shape), bottom
+    )
+    return jnp.concatenate([top, img, bottom], axis=0)
+
+
+def _tile_body(left, right, p: S.SGMParams, halo: int, axis_name: str):
+    """One tile's exact pipeline over its row slab (with halos)."""
+    lh = _halo_exchange(left, halo, axis_name)
+    rh = _halo_exchange(right, halo, axis_name)
+    cost_h = S.census_cost_volume(lh, rh, p)          # rows incl. halo
+    cost = cost_h[halo:-halo]                          # cost rows are exact
+    p1, p2 = jnp.float32(p.p1), jnp.float32(p.p2)
+    # horizontal paths: row-local, exact
+    cost_w = jnp.moveaxis(cost, 1, 0)
+    s = jnp.moveaxis(S._aggregate_dir(cost_w, p1, p2), 0, 1)
+    s = s + jnp.moveaxis(S._aggregate_dir(cost_w[::-1], p1, p2)[::-1], 0, 1)
+    # vertical paths: exact cross-tile chains
+    s = s + _vertical_chain(cost, p1, p2, axis_name, reverse=False)
+    s = s + _vertical_chain(cost, p1, p2, axis_name, reverse=True)
+    disp, valid = S._wta(s, p)
+    if p.lr_max_diff >= 0:
+        valid = valid & S._left_right_check(s, disp, p)
+    # speckle/median act on the disparity field: recompute with halo rows so
+    # windows match the single-device result, then crop
+    disp_h = _halo_exchange(disp, halo, axis_name)
+    valid_h = _halo_exchange(valid, halo, axis_name)
+    valid_h = S._speckle_suppress(disp_h, valid_h, p)
+    if p.median_ksize > 1:
+        disp_h = im.median_blur(disp_h, p.median_ksize)
+    disp_o = jnp.where(valid_h, disp_h, float(p.min_disparity) - 1.0)[halo:-halo]
+    return disp_o, valid_h[halo:-halo]
+
+
+def sharded_disparity_exact(left, right, params: S.SGMParams, mesh: Mesh):
+    """(B, H, W) pairs → exact single-device disparity, row-tiled over the
+    'tile' mesh axis and batched over 'frame'."""
+    halo = max(params.census_wsize // 2, params.census_ksize // 2,
+               params.median_ksize // 2, 8)
+
+    def body(l, r):
+        f = functools.partial(_tile_body, p=params, halo=halo, axis_name="tile")
+        return jax.vmap(f)(l, r)
+
+    spec = P("frame", "tile", None)
+    fn = jax.jit(shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                           out_specs=(spec, spec), check_vma=False))
+    left = jax.device_put(jnp.asarray(left), NamedSharding(mesh, spec))
+    right = jax.device_put(jnp.asarray(right), NamedSharding(mesh, spec))
+    return fn(left, right)

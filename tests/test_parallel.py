@@ -65,3 +65,34 @@ class TestBatchAPI:
         assert disp.shape == (3, 48, 96)
         ref, _ = compute_disparity(jnp.asarray(left[1]), jnp.asarray(right[1]), p)
         np.testing.assert_allclose(np.asarray(disp[1]), np.asarray(ref), atol=1e-5)
+
+
+class TestExactTileParallel:
+    def test_bit_exact_vs_single_device(self):
+        """The chained vertical aggregation must reproduce the single-device
+        result exactly (not just near the seams like the halo approximation)."""
+        import jax
+
+        from stereovision_tpu.parallel.disparity_exact import sharded_disparity_exact
+
+        left, right = pair_batch(b=2, h=96, w=96, shift=5)
+        p = SGMParams(num_disparities=16, impl="xla")
+        mesh = make_mesh(frame=2, tile=4)
+        disp, valid = sharded_disparity_exact(left, right, p, mesh)
+        for b in range(2):
+            d_ref, v_ref = compute_disparity(jnp.asarray(left[b]), jnp.asarray(right[b]), p)
+            np.testing.assert_allclose(np.asarray(disp[b]), np.asarray(d_ref), atol=0)
+            np.testing.assert_array_equal(np.asarray(valid[b]), np.asarray(v_ref))
+
+    def test_exact_with_speckle_off_and_no_lr(self):
+        from stereovision_tpu.parallel.disparity_exact import sharded_disparity_exact
+
+        left, right = pair_batch(b=2, h=64, w=80, shift=4)
+        p = SGMParams(num_disparities=16, impl="xla", lr_max_diff=-1,
+                      speckle_window_size=0, median_ksize=3)
+        import jax
+
+        mesh = make_mesh(frame=2, tile=2, devices=jax.devices()[:4])
+        disp, valid = sharded_disparity_exact(left, right, p, mesh)
+        d_ref, v_ref = compute_disparity(jnp.asarray(left[0]), jnp.asarray(right[0]), p)
+        np.testing.assert_allclose(np.asarray(disp[0]), np.asarray(d_ref), atol=0)
