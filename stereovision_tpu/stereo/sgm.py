@@ -332,11 +332,14 @@ def _speckle_suppress(disp: jax.Array, valid: jax.Array, p: SGMParams) -> jax.Ar
 
 
 def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
-    """Fused Pallas path: census → cost kernel (lane-padded D) → 4 chained
-    directional kernels accumulating into one sum volume, with the per-pixel
-    winner statistics emitted by the final pass (no separate WTA read).
+    """Fused Pallas path: census → cost kernel (lane-padded D) → one
+    dual-direction kernel per axis (forward+backward in the same sweep,
+    per-direction volumes stored int8 when n_bits + P2 ≤ 127) → one fused
+    sum/WTA pass that emits the winner statistics plus the (D, H, W) int16
+    transposed sum for the LR check. Nothing reads any volume twice, and the
+    untransposed 4-direction sum is never materialized.
 
-    Returns (agg (H, W, Dp), (best, idx, cm, cp, competitor)); agg lanes ≥
+    Returns (None, (best, idx, cm, cp, competitor), s_t); s_t lanes ≥
     num_disparities carry huge costs.
     """
     from stereovision_tpu.ops import sgm_pallas
@@ -350,17 +353,20 @@ def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
         cl, cr, Dp, d_valid=D, min_d=p.min_disparity, max_cost=float(n_bits),
         interpret=interpret,
     )
-    agg = functools.partial(
-        sgm_pallas.aggregate_dir, p1=p.p1, p2=p.p2, interpret=interpret
+    # per-direction path costs are ≤ n_bits + P2 — int8-exact for the default
+    # census sizes, halving the write traffic of both dual sweeps
+    vol_dt = jnp.int8 if (n_bits + p.p2) <= 127 else jnp.int16
+    dual = functools.partial(
+        sgm_pallas.aggregate_dual, p1=p.p1, p2=p.p2, out_dtype=vol_dt,
+        interpret=interpret,
     )
-    s = agg(cost, axis=1)
-    s = agg(cost, axis=1, reverse=True, acc=s)
-    s = agg(cost, axis=0, acc=s)
-    # note: aggregate_dir(emit_transposed=True) can emit the (D, H, W) copy the
-    # LR check consumes, but the in-kernel relayout measured slower than the
-    # XLA transpose it replaces (and forces smaller blocks) — not used
-    s, best, idx, cm, cp, comp = agg(cost, axis=0, reverse=True, acc=s, wta_out=True)
-    return s, (best, idx, cm, cp, comp), None
+    hf, hb = dual(cost, axis=1)
+    vf, vb = dual(cost, axis=0)
+    s_t, best, idx, cm, cp, comp = sgm_pallas.sum_wta(
+        (hf, hb, vf, vb), d_valid=D, emit_transposed=p.lr_max_diff >= 0,
+        interpret=interpret,
+    )
+    return None, (best, idx, cm, cp, comp), s_t
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
