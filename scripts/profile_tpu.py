@@ -1,0 +1,110 @@
+"""Per-stage TPU timing probe for the SGM pipeline (run on the real chip).
+
+Times each stage of the hier pipeline at 720p/D=320 by building progressively
+longer prefixes of the computation and differencing. Readback-forced timing
+(see CLAUDE.md: block_until_ready is unreliable over the axon tunnel).
+
+Usage: python scripts/profile_tpu.py [stage ...]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+H, W, D = 720, 1280, 320
+N = 10
+
+
+def make_pair():
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, size=(H, W + 16)).astype(np.float32)
+    try:
+        import cv2
+
+        base = cv2.GaussianBlur(base, (5, 5), 1.0)
+    except Exception:
+        pass
+    return base[:, :W], base[:, 8 : 8 + W]
+
+
+def timeit(fn, *args, n=N):
+    import jax.numpy as jnp
+
+    out = fn(*args)
+    float(jnp.sum(jnp.asarray(out[0] if isinstance(out, (tuple, list)) else out).astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    float(jnp.sum(jnp.asarray(out[0] if isinstance(out, (tuple, list)) else out).astype(jnp.float32)))
+    return (time.perf_counter() - t0) / n * 1e3  # ms
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from stereovision_tpu.core import image as im
+    from stereovision_tpu.ops import sgm_pallas
+    from stereovision_tpu.stereo import SGMParams, compute_disparity
+    from stereovision_tpu.stereo.sgm import _cost_aggregate_pallas
+
+    print("backend:", jax.default_backend(), jax.devices())
+    lnp, rnp = make_pair()
+    left = jnp.asarray(lnp)
+    right = jnp.asarray(rnp)
+
+    p = SGMParams(num_disparities=D, mode="hier")
+    pf = SGMParams(num_disparities=D, mode="full")
+
+    stages = {}
+
+    # full pipeline, both modes
+    stages["hier_total"] = lambda: compute_disparity(left, right, p)
+    stages["full_total"] = lambda: compute_disparity(left, right, pf)
+
+    # stage prefixes at full res (D=320 full mode)
+    census = jax.jit(lambda l, r: (im.census_transform(l, 5, 5), im.census_transform(r, 5, 5)))
+
+    def cost_only(l, r):
+        cl, cr = census(l, r)
+        Dp = D + (-D) % 128
+        return sgm_pallas.cost_volume(cl, cr, Dp, d_valid=D, min_d=0, max_cost=24.0)
+
+    cost_j = jax.jit(cost_only)
+
+    def agg_only(l, r):
+        c = cost_j(l, r)
+        hf, hb = sgm_pallas.aggregate_dual(c, 8.0, 96.0, axis=1, out_dtype=jnp.int8)
+        vf, vb = sgm_pallas.aggregate_dual(c, 8.0, 96.0, axis=0, out_dtype=jnp.int8)
+        return hf, hb, vf, vb
+
+    agg_j = jax.jit(agg_only)
+
+    def sumwta_only(l, r):
+        vols = agg_j(l, r)
+        return sgm_pallas.sum_wta(vols, d_valid=D, emit_transposed=True)
+
+    sw_j = jax.jit(sumwta_only)
+
+    stages["census"] = lambda: census(left, right)
+    stages["cost(+census)"] = lambda: cost_j(left, right)
+    stages["agg(+cost)"] = lambda: agg_j(left, right)
+    stages["sumwta(+agg)"] = lambda: sw_j(left, right)
+
+    # refine-range versions (hier inner pass at D=128)
+    p128 = SGMParams(num_disparities=128, mode="full")
+    stages["full_d128"] = lambda: compute_disparity(left, right, p128)
+    p128nolr = SGMParams(num_disparities=128, mode="full", lr_max_diff=-1)
+    stages["full_d128_nolr"] = lambda: compute_disparity(left, right, p128nolr)
+
+    sel = sys.argv[1:] or list(stages)
+    for name in sel:
+        ms = timeit(stages[name])
+        print(f"{name:>18}: {ms:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

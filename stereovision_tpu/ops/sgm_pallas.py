@@ -383,6 +383,32 @@ def aggregate_dir(
 # ---------------------------------------------------------------------------
 
 
+def _dual_auto_block_x(axis: int, X: int, D: int, block_s: int, out_dtype) -> int:
+    """Perpendicular tile width for :func:`aggregate_dual`.
+
+    VMEM-aware: per unit of block_x the kernel holds (axis 1) four f32 staging
+    blocks + double-buffered in/out block pairs, or (axis 0) just the in/out
+    pairs; capped so the whole working set stays ~11 MB. For axis 0 the result
+    is the block's sublane dim, which Mosaic requires to be a multiple of 8 or
+    the full X — rounded up, with the grid's cdiv absorbing the overhang
+    (out-of-range columns are independent junk lanes whose writes are masked).
+    """
+    isz = jnp.dtype(out_dtype).itemsize
+    if axis == 1:
+        per_x = block_s * D * (16 + 4 * (1 + isz)) + 8 * D
+    else:
+        per_x = block_s * D * 4 * (1 + isz) + 8 * D
+    # 8 MB budget against the 16 MB scoped-vmem limit: measured stack usage
+    # runs ~1.5× this model (Mosaic staging for masked int8 stores), so the
+    # headroom is deliberate (D=384 axis-0 tiles OOMed at an 11 MB budget)
+    cap = max(32, (8 << 20) // per_x)
+    n_tiles = max(1, -(-X // min(cap, 256 if axis == 0 else 160)))
+    block_x = -(-X // n_tiles)
+    if axis == 0:
+        block_x = min(-(-block_x // 8) * 8, X)
+    return block_x
+
+
 def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp):
     # The scan loop is unrolled (ks is small and static): every buffer access
     # becomes a static slice, which Mosaic compiles to direct tile accesses,
@@ -474,17 +500,7 @@ def aggregate_dual(
     S = cost.shape[axis]
     X = cost.shape[1 - axis]
     if block_x is None:
-        # VMEM-aware: per unit of block_x the kernel holds (axis 1) four f32
-        # staging blocks + double-buffered in/out block pairs, or (axis 0) just
-        # the in/out pairs; cap so the whole working set stays ~11 MB.
-        isz = jnp.dtype(out_dtype).itemsize
-        if axis == 1:
-            per_x = block_s * D * (16 + 4 * (1 + isz)) + 8 * D
-        else:
-            per_x = block_s * D * 4 * (1 + isz) + 8 * D
-        cap = max(32, (11 << 20) // per_x)
-        n_tiles = max(1, -(-X // min(cap, 256 if axis == 0 else 160)))
-        block_x = -(-X // n_tiles)
+        block_x = _dual_auto_block_x(axis, X, D, block_s, out_dtype)
     pad_s = (-S) % block_s
     if pad_s:
         pad_cfg = [(0, 0), (0, 0), (0, 0)]

@@ -84,3 +84,30 @@ class TestPallasParity:
         )[::-1]
         rev = sgm_pallas.aggregate_dir(cost, 8.0, 96.0, reverse=True, interpret=True)
         np.testing.assert_allclose(np.asarray(rev), np.asarray(fwd_of_flipped), atol=1e-4)
+
+
+class TestBlockSelection:
+    def test_dual_auto_block_x_mosaic_legal(self):
+        """Regression: axis-0 auto tiles must be sublane-legal (×8 or full X).
+
+        D=320 (pad 384) at 720p picked block_x=214 before the fix, which fails
+        Mosaic lowering on hardware (interpret mode doesn't check it).
+        """
+        from stereovision_tpu.ops.sgm_pallas import _dual_auto_block_x
+
+        for D in (128, 256, 384, 512, 640):
+            for X in (64, 160, 320, 640, 719, 1280, 1283):
+                for bs in (8, 16):
+                    for dt in (jnp.int8, jnp.int16, jnp.float32):
+                        bx = _dual_auto_block_x(0, X, D, bs, dt)
+                        assert bx == X or bx % 8 == 0, (D, X, bs, dt, bx)
+                        assert 0 < bx <= max(X, 8)
+
+    def test_full_mode_d320_shapes_compile_interpret(self):
+        """The exact tile geometry of full-search D=320 at 720p (scaled-down
+        rows, real W and D) runs through the dual kernels."""
+        from stereovision_tpu.ops import sgm_pallas
+
+        cost = jnp.asarray(RNG.uniform(0, 24, size=(16, 1280, 384)).astype(np.float32))
+        lf, lb = sgm_pallas.aggregate_dual(cost, 8.0, 96.0, axis=0, interpret=True)
+        assert lf.shape == cost.shape and lb.shape == cost.shape
