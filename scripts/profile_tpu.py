@@ -7,6 +7,7 @@ longer prefixes of the computation and differencing. Readback-forced timing
 Usage: python scripts/profile_tpu.py [stage ...]
 """
 
+import os
 import sys
 import time
 
@@ -15,7 +16,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 H, W, D = 720, 1280, 320
-N = 10
+N = int(os.environ.get("PROF_N", "10"))
 
 
 def make_pair():
@@ -66,12 +67,17 @@ def main():
     stages["full_total"] = lambda: compute_disparity(left, right, pf)
 
     # stage prefixes at full res (D=320 full mode)
-    census = jax.jit(lambda l, r: (im.census_transform(l, 5, 5), im.census_transform(r, 5, 5)))
+    census = jax.jit(
+        lambda l, r: (
+            sgm_pallas.census_words(l, 5, 5),
+            sgm_pallas.census_words(r[:, ::-1], 5, 5, mirror=True),
+        )
+    )
 
     def cost_only(l, r):
-        cl, cr = census(l, r)
+        cl, crr = census(l, r)
         Dp = D + (-D) % 128
-        return sgm_pallas.cost_volume(cl, cr, Dp, d_valid=D, min_d=0, max_cost=24.0)
+        return sgm_pallas.cost_volume_planes(cl, crr, W, Dp, d_valid=D, min_d=0, max_cost=24.0)
 
     cost_j = jax.jit(cost_only)
 
@@ -99,6 +105,37 @@ def main():
     stages["full_d128"] = lambda: compute_disparity(left, right, p128)
     p128nolr = SGMParams(num_disparities=128, mode="full", lr_max_diff=-1)
     stages["full_d128_nolr"] = lambda: compute_disparity(left, right, p128nolr)
+
+    # post-processing pieces in isolation (D=128 refine-shape)
+    def sumwta_nt(l, r):
+        vols = agg_j(l, r)
+        return sgm_pallas.sum_wta(vols, d_valid=D, emit_transposed=False)[1:]
+
+    swnt_j = jax.jit(sumwta_nt)
+    stages["sumwta_nt(+agg)"] = lambda: swnt_j(left, right)
+
+    s_t128 = jnp.asarray(
+        np.random.default_rng(1).integers(0, 400, size=(128, H, W)).astype(np.int16)
+    )
+    rd_j = jax.jit(
+        lambda s: sgm_pallas.right_disparity(s, 128, pre_transposed=True)
+    )
+    stages["rdisp_d128"] = lambda: rd_j(s_t128)
+
+    disp0 = jnp.asarray(np.random.default_rng(2).uniform(0, 128, (H, W)).astype(np.float32))
+    med_j = jax.jit(lambda d: im.median_blur(d, 5))
+    stages["median5"] = lambda: med_j(disp0)
+
+    from stereovision_tpu.stereo.sgm import _speckle_suppress
+
+    val0 = disp0 > 3
+    spk_j = jax.jit(lambda d, v: _speckle_suppress(d, v, p128))
+    stages["speckle"] = lambda: spk_j(disp0, val0)
+
+    sg_j = jax.jit(
+        lambda d: sgm_pallas.shift_gather(d, jnp.clip(d.astype(jnp.int32), 0, None), 129)
+    )
+    stages["shift_gather"] = lambda: sg_j(disp0)
 
     sel = sys.argv[1:] or list(stages)
     for name in sel:

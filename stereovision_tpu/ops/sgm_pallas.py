@@ -35,6 +35,100 @@ PAD_COST = 120.0
 
 
 # ---------------------------------------------------------------------------
+# Census transform
+# ---------------------------------------------------------------------------
+
+
+def _census_kernel(a_ref, b_ref, out_ref, sbuf_ref, *, bh, pad_y, pad_x, ksize, wsize, mirror, nw):
+    # Strip assembly: BlockSpecs can't overlap, so the row halo (pad_y rows
+    # above/below) comes from TWO consecutive (bh, Wp) blocks of the padded
+    # image stitched in VMEM scratch; every neighbor is then a static sublane
+    # slice + lane roll of the strip (all full-width ops — arbitrary-offset
+    # wide lane slices are not Mosaic-friendly, rolls by constants are).
+    sbuf_ref[pl.ds(0, bh)] = a_ref[:]
+    sbuf_ref[pl.ds(bh, bh)] = b_ref[:]
+    strip = sbuf_ref[:]
+    wp = strip.shape[-1]
+
+    def left_roll(x, s):  # x[i] ← x[i + s]; pltpu.roll wants non-negative
+        return pltpu.roll(x, (wp - s) % wp, 1)
+
+    center = left_roll(jax.lax.slice_in_dim(strip, pad_y, pad_y + bh, axis=0), pad_x)
+    words = [jnp.zeros(center.shape, jnp.int32) for _ in range(nw)]
+    bit = 0
+    for dy in range(wsize):
+        row = jax.lax.slice_in_dim(strip, dy, dy + bh, axis=0)
+        for dx in range(ksize):
+            if dy == wsize // 2 and dx == ksize // 2:
+                continue
+            off = (2 * pad_x - dx) if mirror else dx
+            v = left_roll(row, off)
+            w = bit // 32
+            words[w] = words[w] | ((v < center).astype(jnp.int32) << (bit % 32))
+            bit += 1
+    for w in range(nw):
+        out_ref[w] = words[w]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ksize", "wsize", "mirror", "block_h", "interpret")
+)
+def census_words(
+    img: jax.Array,
+    ksize: int = 5,
+    wsize: int = 5,
+    mirror: bool = False,
+    block_h: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """(H, W) image → (nw, H, Wp) int32 census words, words-leading layout
+    (what :func:`cost_volume` consumes) with Wp lane-padded; lanes ≥ W are
+    junk. Bit order and replicate-border semantics match
+    ``core.image.census_transform`` exactly (parity-tested).
+
+    ``mirror=True`` computes, from the **flipped** image, the flipped census
+    of the original: census(img)[:, ::-1] ≡ census_words(img[:, ::-1],
+    mirror=True) — the form the cost kernel's reversed-right trick needs,
+    without materializing census twice.
+    """
+    H, W = img.shape
+    pad_y, pad_x = wsize // 2, ksize // 2
+    n_bits = ksize * wsize - 1
+    nw = (n_bits + 31) // 32
+    # replicate-pad to P, then square up: rows to (nh+1)·bh so block i+1 always
+    # exists; cols to a lane multiple ≥ W + 2·pad_x so neighbor rolls never wrap
+    # back into valid columns
+    p = _pad_replicate2d(img.astype(jnp.float32), pad_y, pad_x)
+    nh = pl.cdiv(H, block_h)
+    rows = (nh + 1) * block_h
+    Wp = -(-(W + 2 * pad_x) // 128) * 128
+    p = jnp.pad(p, ((0, rows - p.shape[0]), (0, Wp - p.shape[1])))
+    spec = lambda m: pl.BlockSpec((block_h, Wp), m, memory_space=pltpu.VMEM)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(
+            _census_kernel,
+            bh=block_h, pad_y=pad_y, pad_x=pad_x, ksize=ksize, wsize=wsize,
+            mirror=mirror, nw=nw,
+        ),
+        grid=(nh,),
+        in_specs=[spec(lambda i: (i, 0)), spec(lambda i: (i + 1, 0))],
+        out_specs=pl.BlockSpec((nw, block_h, Wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nw, nh * block_h, Wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2 * block_h, Wp), jnp.float32)],
+        interpret=interpret,
+    )(p, p)[:, :H]
+
+
+def _pad_replicate2d(x: jax.Array, pad_y: int, pad_x: int) -> jax.Array:
+    top = jnp.repeat(x[:1], pad_y, axis=0)
+    bot = jnp.repeat(x[-1:], pad_y, axis=0)
+    x = jnp.concatenate([top, x, bot], axis=0)
+    lft = jnp.repeat(x[:, :1], pad_x, axis=1)
+    rgt = jnp.repeat(x[:, -1:], pad_x, axis=1)
+    return jnp.concatenate([lft, x, rgt], axis=1)
+
+
+# ---------------------------------------------------------------------------
 # Census cost volume
 # ---------------------------------------------------------------------------
 
@@ -107,6 +201,40 @@ def cost_volume(
     ignore them. Disparity i encodes min_d + i.
     """
     H, W, nw = census_l.shape
+    cl = jnp.moveaxis(census_l, -1, 0)                     # (nw, H, W)
+    crr = jnp.moveaxis(census_r[:, ::-1, :], -1, 0)
+    return cost_volume_planes(
+        cl, crr, W, d, d_valid=d_valid, min_d=min_d, max_cost=max_cost,
+        block_h=block_h, block_w=block_w, out_dtype=out_dtype,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "d", "d_valid", "min_d", "max_cost", "block_h", "block_w", "out_dtype", "interpret"),
+)
+def cost_volume_planes(
+    cl: jax.Array,
+    crr: jax.Array,
+    w: int,
+    d: int,
+    d_valid: int | None = None,
+    min_d: int = 0,
+    max_cost: float = 48.0,
+    block_h: int = 8,
+    block_w: int = 128,
+    out_dtype=jnp.int8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Words-leading form of :func:`cost_volume`: ``cl`` is (nw, H, ≥w) census
+    of the left image, ``crr`` is (nw, H, ≥w) census of the right image
+    **flipped along W** (what :func:`census_words` with ``mirror=True``
+    emits). Columns ≥ ``w`` may hold junk — every cost they touch is masked
+    in-kernel (out-of-image disparities get ``max_cost``).
+    """
+    W = w
+    H = cl.shape[1]
     if d_valid is None:
         d_valid = d
     # widths must cover the static strip windows: cl columns up to block_w−1,
@@ -114,10 +242,16 @@ def cost_volume(
     # rounded up to lane multiples (dynamic rotates need 128-aligned shapes)
     wl = -(-max(W, block_w) // 128) * 128
     wr = -(-max(W + d + max(min_d, 0), block_w + d) // 128) * 128
-    cl = jnp.moveaxis(census_l, -1, 0)                     # (nw, H, W)
-    crr = jnp.moveaxis(census_r[:, ::-1, :], -1, 0)
-    cl = jnp.pad(cl, ((0, 0), (0, 0), (0, wl - W)))
-    crr = jnp.pad(crr, ((0, 0), (0, 0), (0, wr - W)))
+
+    def fit(x, target):
+        cur = x.shape[-1]
+        if cur < target:
+            return jnp.pad(x, ((0, 0), (0, 0), (0, target - cur)))
+        return x[:, :, :target] if cur > target else x
+
+    cl = fit(cl, wl)
+    crr = fit(crr, wr)
+    nw = cl.shape[0]
     nh = pl.cdiv(H, block_h)
     nwb = pl.cdiv(W, block_w)
     return pl.pallas_call(
@@ -615,31 +749,42 @@ def sum_wta(
 
 def _rdisp_kernel(aggt_ref, out_ref, best_ref, idx_ref, *, bd: int, d_valid: int, w: int):
     # aggt_ref block: (BD, BH, W) of the (D, H, W)-transposed volume; for
-    # right pixel u the cost at disparity d is S[y, u+d, d] = aggt[d, y, u+d]:
-    # take the d-plane (outer-dim slice — always legal), rotate lanes by −d,
-    # mask the wrap. The (best, idx) carry lives in VMEM scratch across the
-    # sequential D-tile grid dimension.
+    # right pixel u the cost at disparity d is S[y, u+d, d] = aggt[d, y, u+d].
+    # A dynamic (traced-shift) lane rotate costs ~8× a static one, so the
+    # per-plane alignment happens in a block-local frame v = u + j·bd using
+    # only STATIC rotates (plane dd rotated by −dd), and the block's running
+    # (min, argmin) is realigned into the carry with ONE dynamic rotate per
+    # grid step. Ties resolve to the smallest d throughout (strict <).
     j = pl.program_id(1)
     bh = aggt_ref.shape[1]
-    u_iota = jax.lax.broadcasted_iota(jnp.int32, (bh, aggt_ref.shape[2]), 1)
+    wp = aggt_ref.shape[2]
+    u_iota = jax.lax.broadcasted_iota(jnp.int32, (bh, wp), 1)
 
     @pl.when(j == 0)
     def _():
         best_ref[:] = jnp.full_like(best_ref, _BIG)
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    def body(dd, _):
-        d = j * bd + dd
-        row = aggt_ref[pl.ds(dd, 1)][0].astype(jnp.float32)  # (BH, W)
-        shifted = pltpu.roll(row, -d, 1)
-        valid = ((u_iota + d) < w) & (d < d_valid)
+    lbest = jnp.full((bh, wp), _BIG, jnp.float32)
+    lidx = jnp.zeros((bh, wp), jnp.int32)
+    for dd in range(bd):  # unrolled: static lane rotates
+        row = jax.lax.slice_in_dim(aggt_ref[:], dd, dd + 1, axis=0)[0].astype(jnp.float32)
+        # v-frame: value for right pixel u = v − j·bd sits at lane v; the
+        # u+d<w wrap mask is v+dd<w here — static iota compare
+        shifted = pltpu.roll(row, (wp - dd) % wp, 1)
+        valid = ((u_iota + dd) < w) & (j * bd + dd < d_valid)
         shifted = jnp.where(valid, shifted, _BIG)
-        take = shifted < best_ref[:]
-        best_ref[:] = jnp.where(take, shifted, best_ref[:])
-        idx_ref[:] = jnp.where(take, d, idx_ref[:])
-        return 0
-
-    jax.lax.fori_loop(0, bd, body, 0)
+        take = shifted < lbest
+        lbest = jnp.where(take, shifted, lbest)
+        lidx = jnp.where(take, dd, lidx)
+    # realign v → u (one dynamic rotate), mask lanes that wrapped past Wp
+    sh = j * bd
+    lbest = pltpu.roll(lbest, -sh, 1)
+    lidx = pltpu.roll(lidx, -sh, 1)
+    lbest = jnp.where(u_iota < wp - sh, lbest, _BIG)
+    take = lbest < best_ref[:]
+    best_ref[:] = jnp.where(take, lbest, best_ref[:])
+    idx_ref[:] = jnp.where(take, lidx + sh, idx_ref[:])
     out_ref[:] = idx_ref[:]
 
 
@@ -694,7 +839,9 @@ def _shift_gather_kernel(src_ref, off_ref, out_ref, acc_ref, *, bs: int):
     # Σ_s (off == s ∧ x ≥ s)·roll(src, s). A per-pixel lane gather is not
     # expressible on TPU; max_offset rolls of the row block are cheap. The
     # x ≥ s guard keeps the circular roll's wrap from leaking right-edge
-    # pixels into out-of-range offsets.
+    # pixels into out-of-range offsets. The block's offset base j·bs is
+    # applied as ONE dynamic (traced-shift) rotate of src; the unrolled inner
+    # rotates are static (a dynamic lane rotate costs ~8× a static one).
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -702,17 +849,15 @@ def _shift_gather_kernel(src_ref, off_ref, out_ref, acc_ref, *, bs: int):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     off = off_ref[:]
-    src = src_ref[:]
+    base = pltpu.roll(src_ref[:], j * bs, 1)
     x_iota = jax.lax.broadcasted_iota(jnp.int32, off.shape, 1)
-
-    def body(ss, _):
+    acc = acc_ref[:]
+    for ss in range(bs):  # unrolled: static rotates
         s = j * bs + ss
-        rolled = pltpu.roll(src, s, 1)
-        acc_ref[:] = jnp.where((off == s) & (x_iota >= s), rolled, acc_ref[:])
-        return 0
-
-    jax.lax.fori_loop(0, bs, body, 0)
-    out_ref[:] = acc_ref[:]
+        rolled = pltpu.roll(base, ss, 1)
+        acc = jnp.where((off == s) & (x_iota >= s), rolled, acc)
+    acc_ref[:] = acc
+    out_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("max_offset", "block_h", "block_s", "interpret"))
@@ -720,7 +865,7 @@ def shift_gather(
     src: jax.Array,
     offsets: jax.Array,
     max_offset: int,
-    block_h: int = 64,
+    block_h: int = 16,
     block_s: int = 64,
     interpret: bool = False,
 ) -> jax.Array:

@@ -344,14 +344,22 @@ def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
     """
     from stereovision_tpu.ops import sgm_pallas
 
-    cl = im.census_transform(left, p.census_ksize, p.census_wsize)
-    cr = im.census_transform(right, p.census_ksize, p.census_wsize)
+    # census runs as a Pallas kernel straight into the words-leading layout
+    # the cost kernel wants; the right image's census is computed pre-flipped
+    # (mirror mode) so no (H, W, nw) intermediate or XLA relayout exists
+    cl = sgm_pallas.census_words(
+        left, p.census_ksize, p.census_wsize, interpret=interpret
+    )
+    crr = sgm_pallas.census_words(
+        right[:, ::-1], p.census_ksize, p.census_wsize, mirror=True,
+        interpret=interpret,
+    )
     D = p.num_disparities
     Dp = D + (-D) % 128
     n_bits = p.census_ksize * p.census_wsize - 1
-    cost = sgm_pallas.cost_volume(
-        cl, cr, Dp, d_valid=D, min_d=p.min_disparity, max_cost=float(n_bits),
-        interpret=interpret,
+    cost = sgm_pallas.cost_volume_planes(
+        cl, crr, left.shape[-1], Dp, d_valid=D, min_d=p.min_disparity,
+        max_cost=float(n_bits), interpret=interpret,
     )
     # per-direction path costs are ≤ n_bits + P2 — int8-exact for the default
     # census sizes, halving the write traffic of both dual sweeps

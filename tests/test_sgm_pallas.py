@@ -111,3 +111,24 @@ class TestBlockSelection:
         cost = jnp.asarray(RNG.uniform(0, 24, size=(16, 1280, 384)).astype(np.float32))
         lf, lb = sgm_pallas.aggregate_dual(cost, 8.0, 96.0, axis=0, interpret=True)
         assert lf.shape == cost.shape and lb.shape == cost.shape
+
+
+class TestCensusKernel:
+    def test_census_words_matches_xla(self):
+        from stereovision_tpu.core import image as im
+        from stereovision_tpu.ops import sgm_pallas
+
+        img = jnp.asarray(RNG.uniform(0, 255, size=(37, 150)).astype(np.float32))
+        for k, w in ((5, 5), (7, 5), (3, 3)):
+            ref = np.moveaxis(np.asarray(im.census_transform(img, k, w)), -1, 0)
+            out = np.asarray(sgm_pallas.census_words(img, k, w, interpret=True))
+            np.testing.assert_array_equal(out[:, :, :150], ref, err_msg=f"{k}x{w}")
+
+    def test_census_words_mirror_is_flipped_census(self):
+        from stereovision_tpu.core import image as im
+        from stereovision_tpu.ops import sgm_pallas
+
+        img = jnp.asarray(RNG.uniform(0, 255, size=(24, 140)).astype(np.float32))
+        ref = np.moveaxis(np.asarray(im.census_transform(img, 5, 5))[:, ::-1, :], -1, 0)
+        out = np.asarray(sgm_pallas.census_words(img[:, ::-1], 5, 5, mirror=True, interpret=True))
+        np.testing.assert_array_equal(out[:, :, :140], ref)
