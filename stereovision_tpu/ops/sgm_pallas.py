@@ -134,8 +134,17 @@ def _pad_replicate2d(x: jax.Array, pad_y: int, pad_x: int) -> jax.Array:
 
 
 def _cost_kernel(
-    cl_ref, crr_ref, out_ref, buf_ref, *, bw: int, d: int, d_valid: int, w: int, min_d: int, max_cost: float
+    cl_ref, crr_ref, *refs, bw: int, d: int, d_valid: int, w: int, min_d: int,
+    max_cost: float, transposed: int
 ):
+    # transposed: 0 → (H, W, D) out only; 1 → both layouts; 2 → (W, H, D) only.
+    # The (W, H, D) block stores each column's (BH, D) slab at an outer-dim
+    # index — no extra compute, the transpose falls out of the store order.
+    refs = list(refs)
+    out_ref = refs.pop(0) if transposed != 2 else None
+    outt_ref = refs.pop(0) if transposed else None
+    buf_ref = refs.pop(0) if transposed != 2 else None
+    buft_ref = refs.pop(0) if transposed else None
     # cl_ref/crr_ref layout: (nw, BH, W) — words leading so W sits in lanes
     # (an (H, W, nw=2) layout would pad the 2-element lane dim to 128 in VMEM).
     # Columns accumulate in an f32 VMEM buffer (narrow-dtype stores at
@@ -172,9 +181,15 @@ def _cost_kernel(
         # strictly below PAD_COST, so padded lanes can never win an argmin
         if d_valid < d:
             cost = jnp.where(d_iota >= d_valid, PAD_COST, cost)
-        buf_ref[:, xx, :] = cost
+        if buf_ref is not None:
+            buf_ref[:, xx, :] = cost
+        if buft_ref is not None:
+            buft_ref[xx] = cost
 
-    out_ref[:] = buf_ref[:].astype(out_ref.dtype)
+    if out_ref is not None:
+        out_ref[:] = buf_ref[:].astype(out_ref.dtype)
+    if outt_ref is not None:
+        outt_ref[:] = buft_ref[:].astype(outt_ref.dtype)
 
 
 @functools.partial(
@@ -212,7 +227,10 @@ def cost_volume(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("w", "d", "d_valid", "min_d", "max_cost", "block_h", "block_w", "out_dtype", "interpret"),
+    static_argnames=(
+        "w", "d", "d_valid", "min_d", "max_cost", "block_h", "block_w",
+        "out_dtype", "transposed", "interpret",
+    ),
 )
 def cost_volume_planes(
     cl: jax.Array,
@@ -225,13 +243,19 @@ def cost_volume_planes(
     block_h: int = 8,
     block_w: int = 128,
     out_dtype=jnp.int8,
+    transposed: int = 0,
     interpret: bool = False,
-) -> jax.Array:
+):
     """Words-leading form of :func:`cost_volume`: ``cl`` is (nw, H, ≥w) census
     of the left image, ``crr`` is (nw, H, ≥w) census of the right image
     **flipped along W** (what :func:`census_words` with ``mirror=True``
     emits). Columns ≥ ``w`` may hold junk — every cost they touch is masked
     in-kernel (out-of-image disparities get ``max_cost``).
+
+    ``transposed``: 0 → returns (H, W, d); 2 → returns (W, H, d) — the layout
+    whose axis-0 scan IS the horizontal SGM pass (no relayout: the kernel's
+    per-column slab store lands at an outer-dim index); 1 → returns the tuple
+    (both layouts) from one sweep.
     """
     W = w
     H = cl.shape[1]
@@ -254,10 +278,24 @@ def cost_volume_planes(
     nw = cl.shape[0]
     nh = pl.cdiv(H, block_h)
     nwb = pl.cdiv(W, block_w)
-    return pl.pallas_call(
+    out_specs, out_shape, scratch = [], [], []
+    if transposed != 2:
+        out_specs.append(
+            pl.BlockSpec((block_h, block_w, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((H, W, d), out_dtype))
+        scratch.append(pltpu.VMEM((block_h, block_w, d), jnp.float32))
+    if transposed:
+        out_specs.append(
+            pl.BlockSpec((block_w, block_h, d), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((W, H, d), out_dtype))
+        scratch.append(pltpu.VMEM((block_w, block_h, d), jnp.float32))
+    out = pl.pallas_call(
         functools.partial(
             _cost_kernel,
-            bw=block_w, d=d, d_valid=d_valid, w=W, min_d=min_d, max_cost=float(max_cost),
+            bw=block_w, d=d, d_valid=d_valid, w=W, min_d=min_d,
+            max_cost=float(max_cost), transposed=transposed,
         ),
         grid=(nh, nwb),
         in_specs=[
@@ -266,13 +304,12 @@ def cost_volume_planes(
                 (nw, block_h, wr), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (block_h, block_w, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((H, W, d), out_dtype),
-        scratch_shapes=[pltpu.VMEM((block_h, block_w, d), jnp.float32)],
+        out_specs=tuple(out_specs) if transposed == 1 else out_specs[0],
+        out_shape=tuple(out_shape) if transposed == 1 else out_shape[0],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(cl, crr)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -281,13 +318,34 @@ def cost_volume_planes(
 
 
 def _sgm_step(prev, c, p1, p2):
-    """One SGM recurrence step over (…, D) — shared by the Pallas kernels and
-    the XLA scan path (stereo.sgm), which must stay bit-identical."""
+    """One SGM recurrence step over (…, D) with a raw-L carry — the reference
+    formulation (used where the carry crosses devices, parallel.disparity_exact)
+    and the semantics the normalized variant below must reproduce exactly."""
     min_prev = jnp.min(prev, axis=-1, keepdims=True)
     shift_m = jnp.concatenate([jnp.full_like(prev[..., :1], _BIG), prev[..., :-1]], axis=-1)
     shift_p = jnp.concatenate([prev[..., 1:], jnp.full_like(prev[..., :1], _BIG)], axis=-1)
     best = jnp.minimum(jnp.minimum(prev, min_prev + p2), jnp.minimum(shift_m, shift_p) + p1)
     return c + best - min_prev
+
+
+def _sgm_step_norm(n_prev, c, p1, p2):
+    """:func:`_sgm_step` with a min-normalized carry: ``n_prev = L_prev −
+    min(L_prev)`` (lane-min 0), which turns the P2 term into the CONSTANT p2 —
+    one broadcast-free min instead of a reduce+broadcast+add. Returns L with
+    values identical to :func:`_sgm_step` (exact for integer penalties; both
+    rearrangements are the same f32 sums); callers maintain
+    ``n = L − min(L)`` as the next carry — the remaining single reduce per
+    step. Shared by the Pallas kernels and the XLA scan path (stereo.sgm),
+    which must stay bit-identical."""
+    shift_m = jnp.concatenate([jnp.full_like(n_prev[..., :1], _BIG), n_prev[..., :-1]], axis=-1)
+    shift_p = jnp.concatenate([n_prev[..., 1:], jnp.full_like(n_prev[..., :1], _BIG)], axis=-1)
+    best = jnp.minimum(jnp.minimum(n_prev, p2), jnp.minimum(shift_m, shift_p) + p1)
+    return c + best
+
+
+def _renorm(l):
+    """L → next normalized carry (min-zero over the lane dim)."""
+    return l - jnp.min(l, axis=-1, keepdims=True)
 
 
 def _wta_stats(s):
@@ -347,14 +405,14 @@ def _agg_kernel(*refs, ks, p1, p2, reverse, acc, axis, wta_out, emit_transposed=
         src = cbuf_ref if axis == 1 else cost_ref
         c = read(src, s).astype(jnp.float32)  # (TX, D)
         first = jnp.logical_and(j == 0, it == 0)
-        l = jnp.where(first, c, _sgm_step(lprev_ref[:], c, p1, p2))
+        l = jnp.where(first, c, _sgm_step_norm(lprev_ref[:], c, p1, p2))
         if axis == 1:
             write(lbuf_ref, s, l)
         elif acc:
             write(out_ref, s, (read(acc_ref, s).astype(jnp.float32) + l).astype(out_ref.dtype))
         else:
             write(out_ref, s, l.astype(out_ref.dtype))
-        lprev_ref[:] = l
+        lprev_ref[:] = _renorm(l)
         return 0
 
     jax.lax.fori_loop(0, ks, col, 0)
@@ -589,10 +647,10 @@ def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp):
         first = jnp.logical_and(j == 0, it == 0)
         cf = read(cbf_ref if axis == 1 else cf_ref, sf).astype(jnp.float32)
         cb = read(cbb_ref if axis == 1 else cb_ref, sb).astype(jnp.float32)
-        lf = jnp.where(first, cf, _sgm_step(lpf_ref[:], cf, p1, p2))
-        lb = jnp.where(first, cb, _sgm_step(lpb_ref[:], cb, p1, p2))
-        lpf_ref[:] = lf
-        lpb_ref[:] = lb
+        lf = jnp.where(first, cf, _sgm_step_norm(lpf_ref[:], cf, p1, p2))
+        lb = jnp.where(first, cb, _sgm_step_norm(lpb_ref[:], cb, p1, p2))
+        lpf_ref[:] = _renorm(lf)
+        lpb_ref[:] = _renorm(lb)
         if clamp:
             lf = jnp.minimum(lf, 127.0)
             lb = jnp.minimum(lb, 127.0)

@@ -123,17 +123,18 @@ def census_cost_volume(left: jax.Array, right: jax.Array, p: SGMParams) -> jax.A
 def _aggregate_dir(cost_sw: jax.Array, p1: float, p2: float) -> jax.Array:
     """Aggregate along the leading (scan) axis: (S, X, D) → (S, X, D).
 
-    The recurrence L(d) = C(d) + min(Lp(d), Lp(d±1)+P1, minLp+P2) − minLp is
-    shared with the Pallas kernels (ops.sgm_pallas._sgm_step) so the two
-    implementations stay bit-identical.
+    The recurrence L(d) = C(d) + min(Lp(d), Lp(d±1)+P1, minLp+P2) − minLp,
+    evaluated in min-normalized-carry form and shared with the Pallas kernels
+    (ops.sgm_pallas._sgm_step_norm) so the two implementations stay
+    bit-identical.
     """
-    from stereovision_tpu.ops.sgm_pallas import _sgm_step
+    from stereovision_tpu.ops.sgm_pallas import _renorm, _sgm_step_norm
 
     def step(carry, c):
-        l = _sgm_step(carry, c, p1, p2)
-        return l, l
+        l = _sgm_step_norm(carry, c, p1, p2)
+        return _renorm(l), l
 
-    _, ls = jax.lax.scan(step, cost_sw[0], cost_sw[1:])
+    _, ls = jax.lax.scan(step, _renorm(cost_sw[0]), cost_sw[1:])
     return jnp.concatenate([cost_sw[:1], ls], axis=0)
 
 
@@ -357,9 +358,13 @@ def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
     D = p.num_disparities
     Dp = D + (-D) % 128
     n_bits = p.census_ksize * p.census_wsize - 1
-    cost = sgm_pallas.cost_volume_planes(
+    # the cost kernel emits BOTH layouts in one sweep (the (W, H, D) copy is
+    # just a different store order): the horizontal SGM paths then run as
+    # axis-0 scans over the transposed volume — the axis-1 kernel's sublane
+    # staging made it 2-6× slower than axis 0
+    cost, cost_t = sgm_pallas.cost_volume_planes(
         cl, crr, left.shape[-1], Dp, d_valid=D, min_d=p.min_disparity,
-        max_cost=float(n_bits), interpret=interpret,
+        max_cost=float(n_bits), transposed=1, interpret=interpret,
     )
     # per-direction path costs are ≤ n_bits + P2 — int8-exact for the default
     # census sizes, halving the write traffic of both dual sweeps
@@ -368,10 +373,15 @@ def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
         sgm_pallas.aggregate_dual, p1=p.p1, p2=p.p2, out_dtype=vol_dt,
         interpret=interpret,
     )
-    hf, hb = dual(cost, axis=1)
+    hf_t, hb_t = dual(cost_t, axis=0)
     vf, vb = dual(cost, axis=0)
+    # one fused add+relayout back to (H, W, D); D stays the contiguous minor
+    # dim, so this is a cheap leading-dims batch transpose
+    hsum = jnp.transpose(
+        hf_t.astype(jnp.int16) + hb_t.astype(jnp.int16), (1, 0, 2)
+    )
     s_t, best, idx, cm, cp, comp = sgm_pallas.sum_wta(
-        (hf, hb, vf, vb), d_valid=D, emit_transposed=p.lr_max_diff >= 0,
+        (hsum, vf, vb), d_valid=D, emit_transposed=p.lr_max_diff >= 0,
         interpret=interpret,
     )
     return None, (best, idx, cm, cp, comp), s_t
