@@ -47,5 +47,37 @@ def main():
                         print(f"D={D} axis={axis} {dtn:>3} bs={bs:>2}: FAIL {str(e)[:80]}")
 
 
+def sweep_block_x():
+    import jax
+    import jax.numpy as jnp
+
+    from stereovision_tpu.ops import sgm_pallas
+
+    rng = np.random.default_rng(0)
+    for D, X in ((128, 1280), (384, 1280)):
+        cost = jnp.asarray(rng.integers(0, 25, size=(H, W, D)).astype(np.int8))
+        for bx in (128, 184, 256, 320, 432, 512, 640):
+            for bs in (8, 16):
+                fn = jax.jit(
+                    lambda c, bx=bx, bs=bs: sgm_pallas.aggregate_dual(
+                        c, 8.0, 96.0, axis=0, block_s=bs, block_x=bx, out_dtype=jnp.int8
+                    )
+                )
+                try:
+                    lf, lb = fn(cost)
+                    float(jnp.sum(lf.astype(jnp.float32)[::97, ::97]))
+                    t0 = time.perf_counter()
+                    for _ in range(N):
+                        lf, lb = fn(cost)
+                    float(jnp.sum(lf.astype(jnp.float32)[::97, ::97]))
+                    ms = (time.perf_counter() - t0) / N * 1e3
+                    print(f"D={D} bx={bx:>3} bs={bs:>2}: {ms:7.2f} ms")
+                except Exception as e:  # noqa: BLE001
+                    print(f"D={D} bx={bx:>3} bs={bs:>2}: FAIL {str(e)[:60]}")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep_block_x()
+    else:
+        main()

@@ -81,24 +81,45 @@ def main():
 
     cost_j = jax.jit(cost_only)
 
+    def cost2_only(l, r):
+        cl, crr = census(l, r)
+        Dp = D + (-D) % 128
+        return sgm_pallas.cost_volume_planes(
+            cl, crr, W, Dp, d_valid=D, min_d=0, max_cost=24.0, transposed=1
+        )
+
+    cost2_j = jax.jit(cost2_only)
+    stages_extra = {}
+    stages_extra["cost2(+census)"] = lambda: cost2_j(left, right)
+
     def agg_only(l, r):
-        c = cost_j(l, r)
-        hf, hb = sgm_pallas.aggregate_dual(c, 8.0, 96.0, axis=1, out_dtype=jnp.int8)
+        c, ct = cost2_j(l, r)
+        hf_t, hb_t = sgm_pallas.aggregate_dual(ct, 8.0, 96.0, axis=0, out_dtype=jnp.int8)
         vf, vb = sgm_pallas.aggregate_dual(c, 8.0, 96.0, axis=0, out_dtype=jnp.int8)
-        return hf, hb, vf, vb
+        return hf_t, hb_t, vf, vb
 
     agg_j = jax.jit(agg_only)
 
     def sumwta_only(l, r):
-        vols = agg_j(l, r)
-        return sgm_pallas.sum_wta(vols, d_valid=D, emit_transposed=True)
+        hf_t, hb_t, vf, vb = agg_j(l, r)
+        hsum = jnp.transpose(hf_t.astype(jnp.int16) + hb_t.astype(jnp.int16), (1, 0, 2))
+        return sgm_pallas.sum_wta((hsum, vf, vb), d_valid=D, emit_transposed=True)
 
     sw_j = jax.jit(sumwta_only)
 
     stages["census"] = lambda: census(left, right)
     stages["cost(+census)"] = lambda: cost_j(left, right)
+    stages.update(stages_extra)
     stages["agg(+cost)"] = lambda: agg_j(left, right)
     stages["sumwta(+agg)"] = lambda: sw_j(left, right)
+
+    # the hier coarse pass in isolation (quarter res, full range)
+    lc = jnp.asarray(lnp[::4, ::4].copy())
+    rc = jnp.asarray(rnp[::4, ::4].copy())
+    pc = SGMParams(
+        num_disparities=80, median_ksize=3, speckle_window_size=0, lr_max_diff=-1
+    )
+    stages["hier_coarse"] = lambda: compute_disparity(lc, rc, pc)
 
     # refine-range versions (hier inner pass at D=128)
     p128 = SGMParams(num_disparities=128, mode="full")

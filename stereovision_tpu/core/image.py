@@ -228,17 +228,24 @@ def bilateral_filter(img: jax.Array, d: int = 9, sigma_color: float = 75.0, sigm
 
 def box_filter(img: jax.Array, ksize: int) -> jax.Array:
     """Mean filter via two 1-D passes (replicate borders)."""
-    k = jnp.full((ksize,), 1.0 / ksize, img.dtype)
+    return window_sum(img, ksize) * (1.0 / (ksize * ksize))
+
+
+def window_sum(img: jax.Array, ksize: int) -> jax.Array:
+    """Un-normalized k×k window sum via two 1-D passes (replicate borders).
+
+    Integer-valued inputs give exact integer sums (used by the speckle filter,
+    which needs bit-parity with its Pallas twin)."""
     pad = ksize // 2
 
-    def conv1d(x, axis):
+    def sum1d(x, axis):
         xp = _pad_replicate(x, pad, axis)
-        slices = [
-            jax.lax.slice_in_dim(xp, i, i + x.shape[axis], axis=axis) for i in range(ksize)
-        ]
-        return sum(s * k[i] for i, s in enumerate(slices))
+        s = jax.lax.slice_in_dim(xp, 0, x.shape[axis], axis=axis)
+        for i in range(1, ksize):
+            s = s + jax.lax.slice_in_dim(xp, i, i + x.shape[axis], axis=axis)
+        return s
 
-    return conv1d(conv1d(img, -1), -2)
+    return sum1d(sum1d(img, -1), -2)
 
 
 def sobel(img: jax.Array):

@@ -310,19 +310,27 @@ def _speckle_suppress(disp: jax.Array, valid: jax.Array, p: SGMParams) -> jax.Ar
     r = float(p.speckle_range)
     # Count same-disparity-bin neighbors with two half-offset binnings (a
     # neighbor within range/2 of the center shares a bin in at least one of
-    # them), via per-bin box filters — O(nbins) separable convs instead of a
-    # k²-view window stack.
+    # them). Counts are exact small integers (f32-exact), so the fused Pallas
+    # kernel and the XLA per-bin separable window sums are bit-identical.
     nbins = (p.num_disparities + int(r)) // max(1, int(r)) + 2
     dv = jnp.where(valid, disp - p.min_disparity, -2.0 * r)
-    count = jnp.zeros_like(disp)
-    for offset in (0.0, 0.5):
-        b = jnp.floor(dv / r + offset)
-        c = jnp.zeros_like(disp)
-        for bi in range(nbins):
-            ind = (b == bi).astype(jnp.float32)
-            # center's own bin selects itself: Σ_b box(ind_b)·ind_b — no gather
-            c = c + im.box_filter(ind, k) * (k * k) * ind
-        count = jnp.maximum(count, c)
+    impl = _resolve_impl(p.impl)
+    if impl != "xla":
+        from stereovision_tpu.ops import sgm_pallas
+
+        count = sgm_pallas.speckle_counts(
+            dv, k, r, nbins, interpret=(impl == "pallas_interpret")
+        )
+    else:
+        count = jnp.zeros_like(disp)
+        for offset in (0.0, 0.5):
+            b = jnp.floor(dv / r + offset)
+            c = jnp.zeros_like(disp)
+            for bi in range(nbins):
+                ind = (b == bi).astype(jnp.float32)
+                # center's own bin selects itself: Σ_b wsum(ind_b)·ind_b
+                c = c + im.window_sum(ind, k) * ind
+            count = jnp.maximum(count, c)
     min_count = min(p.speckle_window_size, k * k) * 0.25
     return valid & (count >= min_count)
 

@@ -132,3 +132,24 @@ class TestCensusKernel:
         ref = np.moveaxis(np.asarray(im.census_transform(img, 5, 5))[:, ::-1, :], -1, 0)
         out = np.asarray(sgm_pallas.census_words(img[:, ::-1], 5, 5, mirror=True, interpret=True))
         np.testing.assert_array_equal(out[:, :, :140], ref)
+
+
+class TestSpeckleKernel:
+    def test_speckle_counts_matches_xla(self):
+        from stereovision_tpu.core import image as im
+        from stereovision_tpu.ops import sgm_pallas
+
+        k, r, nbins = 15, 32.0, 6
+        dv = RNG.uniform(-64, 160, size=(37, 150)).astype(np.float32)
+        dv[dv < -50] = -2.0 * r
+        dvj = jnp.asarray(dv)
+        ref = jnp.zeros_like(dvj)
+        for off in (0.0, 0.5):
+            b = jnp.floor(dvj / r + off)
+            c = jnp.zeros_like(dvj)
+            for bi in range(nbins):
+                ind = (b == bi).astype(jnp.float32)
+                c = c + im.window_sum(ind, k) * ind
+            ref = jnp.maximum(ref, c)
+        out = sgm_pallas.speckle_counts(dvj, k, r, nbins, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
