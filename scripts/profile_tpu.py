@@ -129,8 +129,9 @@ def main():
 
     # post-processing pieces in isolation (D=128 refine-shape)
     def sumwta_nt(l, r):
-        vols = agg_j(l, r)
-        return sgm_pallas.sum_wta(vols, d_valid=D, emit_transposed=False)[1:]
+        hf_t, hb_t, vf, vb = agg_j(l, r)
+        hsum = jnp.transpose(hf_t.astype(jnp.int16) + hb_t.astype(jnp.int16), (1, 0, 2))
+        return sgm_pallas.sum_wta((hsum, vf, vb), d_valid=D, emit_transposed=False)[1:]
 
     swnt_j = jax.jit(sumwta_nt)
     stages["sumwta_nt(+agg)"] = lambda: swnt_j(left, right)

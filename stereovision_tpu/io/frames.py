@@ -40,6 +40,11 @@ def _imread_bgr(path: Path) -> np.ndarray:
     return _to_bgr(np.asarray(iio.imread(path)))
 
 
+def imread_gray(path) -> np.ndarray:
+    """Public single-image grayscale loader (float32 (H, W))."""
+    return _imread_gray(Path(path))
+
+
 @dataclasses.dataclass
 class PairedImageSource:
     """Iterates (left, right) grayscale float32 frames from a directory."""

@@ -134,53 +134,75 @@ def _pad_replicate2d(x: jax.Array, pad_y: int, pad_x: int) -> jax.Array:
 
 
 def _cost_kernel(
-    cl_ref, crr_ref, *refs, bw: int, d: int, d_valid: int, w: int, min_d: int,
-    max_cost: float, transposed: int
+    *refs, bw: int, d: int, d_valid: int, w: int, min_d: int,
+    max_cost: float, transposed: int, pack: int
 ):
     # transposed: 0 → (H, W, D) out only; 1 → both layouts; 2 → (W, H, D) only.
     # The (W, H, D) block stores each column's (BH, D) slab at an outer-dim
     # index — no extra compute, the transpose falls out of the store order.
+    #
+    # pack=2: the lane dim carries TWO independent 64-disparity groups, one
+    # per image half — group g's lanes match census rows from half g (the
+    # extra census refs). Halving the pseudo-image height halves every
+    # downstream volume (see stereo.sgm lane-packed refine).
     refs = list(refs)
+    cl_refs = [refs.pop(0) for _ in range(pack)]
+    crr_refs = [refs.pop(0) for _ in range(pack)]
     out_ref = refs.pop(0) if transposed != 2 else None
     outt_ref = refs.pop(0) if transposed else None
     buf_ref = refs.pop(0) if transposed != 2 else None
     buft_ref = refs.pop(0) if transposed else None
-    # cl_ref/crr_ref layout: (nw, BH, W) — words leading so W sits in lanes
+    # census layout: (nw, BH, W) — words leading so W sits in lanes
     # (an (H, W, nw=2) layout would pad the 2-element lane dim to 128 in VMEM).
     # Columns accumulate in an f32 VMEM buffer (narrow-dtype stores at
     # arbitrary sublane offsets are not expressible); one full-block store at
     # the end casts to the output dtype.
     j = pl.program_id(1)
-    nw = cl_ref.shape[0]
-    bh = cl_ref.shape[1]
+    nw = cl_refs[0].shape[0]
+    bh = cl_refs[0].shape[1]
+    dg = d // pack
     d_iota = jax.lax.broadcasted_iota(jnp.int32, (bh, d), 1)
+    dl = d_iota % dg if pack > 1 else d_iota
+    in0 = d_iota < dg
 
     # Hoist the dynamic rotates out of the column loop: one rotate per block
     # aligns the whole strip, after which every column is a *static* slice.
     # Column x ∈ [x0, x0+bw) needs cr_rev[start(x) : +D] with
     # start(x) = w−1−x+min_d decreasing by 1 per column; rotating cr_rev by
     # −(start(x0) − (bw−1)) puts all needed windows at static offsets
-    # (bw−1−xx … +D). Same for cl: one rotate by −x0.
+    # (bw−1−xx … +D). Same for cl: one rotate by −x0. Group 1's census is
+    # pre-rotated dg lanes further so its window lands on lanes [dg, 2dg).
     x0 = j * bw
     base = w - 1 - x0 + min_d - (bw - 1)
-    cls = [pltpu.roll(cl_ref[word], -x0, 1) for word in range(nw)]
-    crs = [pltpu.roll(crr_ref[word], -base, 1) for word in range(nw)]
+    cls = [
+        [pltpu.roll(cl_refs[g][word], -x0, 1) for word in range(nw)]
+        for g in range(pack)
+    ]
+    crs = [
+        [pltpu.roll(crr_refs[g][word], -(base - g * dg), 1) for word in range(nw)]
+        for g in range(pack)
+    ]
 
     for xx in range(bw):  # unrolled: static slice offsets
         cost = jnp.zeros((bh, d), jnp.float32)
         for word in range(nw):
-            clv = jax.lax.slice_in_dim(cls[word], xx, xx + 1, axis=1)
-            crv = jax.lax.slice_in_dim(crs[word], bw - 1 - xx, bw - 1 - xx + d, axis=1)
+            clv = jax.lax.slice_in_dim(cls[0][word], xx, xx + 1, axis=1)
+            crv = jax.lax.slice_in_dim(crs[0][word], bw - 1 - xx, bw - 1 - xx + d, axis=1)
+            if pack > 1:
+                clv1 = jax.lax.slice_in_dim(cls[1][word], xx, xx + 1, axis=1)
+                crv1 = jax.lax.slice_in_dim(crs[1][word], bw - 1 - xx, bw - 1 - xx + d, axis=1)
+                clv = jnp.where(in0, clv, clv1)
+                crv = jnp.where(in0, crv, crv1)
             cost = cost + jax.lax.population_count(clv ^ crv).astype(jnp.float32)
         # mask disparities whose right-image column leaves the image:
         # x - min_d - d < 0 (left edge) or > W-1 (right edge, min_d < 0)
-        cost = jnp.where(d_iota > (x0 + xx) - min_d, max_cost, cost)
+        cost = jnp.where(dl > (x0 + xx) - min_d, max_cost, cost)
         if min_d < 0:
-            cost = jnp.where((x0 + xx) - min_d - d_iota > w - 1, max_cost, cost)
+            cost = jnp.where((x0 + xx) - min_d - dl > w - 1, max_cost, cost)
         # lane-padding disparities beyond the requested range: census costs are
         # strictly below PAD_COST, so padded lanes can never win an argmin
-        if d_valid < d:
-            cost = jnp.where(d_iota >= d_valid, PAD_COST, cost)
+        if d_valid < dg:
+            cost = jnp.where(dl >= d_valid, PAD_COST, cost)
         if buf_ref is not None:
             buf_ref[:, xx, :] = cost
         if buft_ref is not None:
@@ -229,7 +251,7 @@ def cost_volume(
     jax.jit,
     static_argnames=(
         "w", "d", "d_valid", "min_d", "max_cost", "block_h", "block_w",
-        "out_dtype", "transposed", "interpret",
+        "out_dtype", "transposed", "pack", "interpret",
     ),
 )
 def cost_volume_planes(
@@ -244,6 +266,7 @@ def cost_volume_planes(
     block_w: int = 128,
     out_dtype=jnp.int8,
     transposed: int = 0,
+    pack: int = 1,
     interpret: bool = False,
 ):
     """Words-leading form of :func:`cost_volume`: ``cl`` is (nw, H, ≥w) census
@@ -256,11 +279,21 @@ def cost_volume_planes(
     whose axis-0 scan IS the horizontal SGM pass (no relayout: the kernel's
     per-column slab store lands at an outer-dim index); 1 → returns the tuple
     (both layouts) from one sweep.
+
+    ``pack=2``: lane-packed volume — H must be even with H/2 a ``block_h``
+    multiple; the output is a (H/2, W, d) pseudo-volume whose lanes [0, d/2)
+    hold rows [0, H/2)'s costs and lanes [d/2, d) rows [H/2, H)'s.
+    ``d_valid`` is then per group (≤ d/pack).
     """
     W = w
     H = cl.shape[1]
+    if pack > 1:
+        assert pack == 2 and H % 2 == 0 and (H // 2) % block_h == 0, (
+            "pack=2 needs H/2 divisible by block_h (caller pads rows)"
+        )
+        H = H // 2
     if d_valid is None:
-        d_valid = d
+        d_valid = d // pack
     # widths must cover the static strip windows: cl columns up to block_w−1,
     # cr windows up to (block_w−1) + d (plus the usual start ≤ W−1+min_d span);
     # rounded up to lane multiples (dynamic rotates need 128-aligned shapes)
@@ -291,24 +324,35 @@ def cost_volume_planes(
         )
         out_shape.append(jax.ShapeDtypeStruct((W, H, d), out_dtype))
         scratch.append(pltpu.VMEM((block_w, block_h, d), jnp.float32))
+    spec_l = pl.BlockSpec((nw, block_h, wl), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM)
+    spec_r = pl.BlockSpec((nw, block_h, wr), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM)
+    in_specs = [spec_l]
+    operands = [cl]
+    if pack > 1:  # half-1 rows arrive as separate refs offset by nh blocks
+        in_specs.append(
+            pl.BlockSpec((nw, block_h, wl), lambda i, j: (0, i + nh, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(cl)
+    in_specs.append(spec_r)
+    operands.append(crr)
+    if pack > 1:
+        in_specs.append(
+            pl.BlockSpec((nw, block_h, wr), lambda i, j: (0, i + nh, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(crr)
     out = pl.pallas_call(
         functools.partial(
             _cost_kernel,
             bw=block_w, d=d, d_valid=d_valid, w=W, min_d=min_d,
-            max_cost=float(max_cost), transposed=transposed,
+            max_cost=float(max_cost), transposed=transposed, pack=pack,
         ),
         grid=(nh, nwb),
-        in_specs=[
-            pl.BlockSpec((nw, block_h, wl), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (nw, block_h, wr), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs) if transposed == 1 else out_specs[0],
         out_shape=tuple(out_shape) if transposed == 1 else out_shape[0],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(cl, crr)
+    )(*operands)
     return out
 
 
@@ -328,7 +372,7 @@ def _sgm_step(prev, c, p1, p2):
     return c + best - min_prev
 
 
-def _sgm_step_norm(n_prev, c, p1, p2):
+def _sgm_step_norm(n_prev, c, p1, p2, dg: int = 0):
     """:func:`_sgm_step` with a min-normalized carry: ``n_prev = L_prev −
     min(L_prev)`` (lane-min 0), which turns the P2 term into the CONSTANT p2 —
     one broadcast-free min instead of a reduce+broadcast+add. Returns L with
@@ -336,16 +380,35 @@ def _sgm_step_norm(n_prev, c, p1, p2):
     rearrangements are the same f32 sums); callers maintain
     ``n = L − min(L)`` as the next carry — the remaining single reduce per
     step. Shared by the Pallas kernels and the XLA scan path (stereo.sgm),
-    which must stay bit-identical."""
+    which must stay bit-identical.
+
+    ``dg`` > 0 marks a lane-packed volume: the lane dim holds D/dg independent
+    disparity groups of dg lanes each (stereo.sgm packs the two image halves
+    as two 64-lane groups). The d±1 shifts must then not leak across group
+    boundaries, and the carry is normalized per group (:func:`_renorm`)."""
     shift_m = jnp.concatenate([jnp.full_like(n_prev[..., :1], _BIG), n_prev[..., :-1]], axis=-1)
     shift_p = jnp.concatenate([n_prev[..., 1:], jnp.full_like(n_prev[..., :1], _BIG)], axis=-1)
+    if dg and dg < n_prev.shape[-1]:
+        lm = jax.lax.broadcasted_iota(jnp.int32, n_prev.shape, n_prev.ndim - 1) % dg
+        shift_m = jnp.where(lm == 0, _BIG, shift_m)
+        shift_p = jnp.where(lm == dg - 1, _BIG, shift_p)
     best = jnp.minimum(jnp.minimum(n_prev, p2), jnp.minimum(shift_m, shift_p) + p1)
     return c + best
 
 
-def _renorm(l):
-    """L → next normalized carry (min-zero over the lane dim)."""
-    return l - jnp.min(l, axis=-1, keepdims=True)
+def _renorm(l, dg: int = 0):
+    """L → next normalized carry (min-zero over the lane dim; per lane group
+    of width ``dg`` when the volume is lane-packed — each group must see the
+    constant-P2 invariant of its own minimum)."""
+    D = l.shape[-1]
+    if not dg or dg >= D:
+        return l - jnp.min(l, axis=-1, keepdims=True)
+    assert D == 2 * dg, "lane packing supports exactly two groups"
+    liota = jax.lax.broadcasted_iota(jnp.int32, l.shape, l.ndim - 1)
+    in0 = liota < dg
+    m0 = jnp.min(jnp.where(in0, l, _BIG), axis=-1, keepdims=True)
+    m1 = jnp.min(jnp.where(in0, _BIG, l), axis=-1, keepdims=True)
+    return l - jnp.where(in0, m0, m1)
 
 
 def _wta_stats(s):
@@ -601,7 +664,7 @@ def _dual_auto_block_x(axis: int, X: int, D: int, block_s: int, out_dtype) -> in
     return block_x
 
 
-def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp):
+def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp, dg=0):
     # The scan loop is unrolled (ks is small and static): every buffer access
     # becomes a static slice, which Mosaic compiles to direct tile accesses,
     # and the `first` select folds to a constant for all iterations but 0.
@@ -647,10 +710,10 @@ def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp):
         first = jnp.logical_and(j == 0, it == 0)
         cf = read(cbf_ref if axis == 1 else cf_ref, sf).astype(jnp.float32)
         cb = read(cbb_ref if axis == 1 else cb_ref, sb).astype(jnp.float32)
-        lf = jnp.where(first, cf, _sgm_step_norm(lpf_ref[:], cf, p1, p2))
-        lb = jnp.where(first, cb, _sgm_step_norm(lpb_ref[:], cb, p1, p2))
-        lpf_ref[:] = _renorm(lf)
-        lpb_ref[:] = _renorm(lb)
+        lf = jnp.where(first, cf, _sgm_step_norm(lpf_ref[:], cf, p1, p2, dg))
+        lb = jnp.where(first, cb, _sgm_step_norm(lpb_ref[:], cb, p1, p2, dg))
+        lpf_ref[:] = _renorm(lf, dg)
+        lpb_ref[:] = _renorm(lb, dg)
         if clamp:
             lf = jnp.minimum(lf, 127.0)
             lb = jnp.minimum(lb, 127.0)
@@ -667,7 +730,7 @@ def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p1", "p2", "axis", "block_s", "block_x", "out_dtype", "interpret"),
+    static_argnames=("p1", "p2", "axis", "block_s", "block_x", "out_dtype", "groups", "interpret"),
 )
 def aggregate_dual(
     cost: jax.Array,
@@ -677,6 +740,7 @@ def aggregate_dual(
     block_s: int = 16,
     block_x: int | None = None,
     out_dtype=jnp.int16,
+    groups: int = 1,
     interpret: bool = False,
 ):
     """Both directional path-cost volumes along ``axis`` of cost (H, W, D) in
@@ -687,6 +751,10 @@ def aggregate_dual(
     127 and are clamped on store — harmless, because :func:`sum_wta` masks
     lanes ≥ d_valid before the argmin. Computes in float32 (carries are never
     clamped). D must be a multiple of 128.
+
+    ``groups`` > 1: the lane dim holds that many independent D/groups-wide
+    disparity groups (lane-packed image halves, see
+    :func:`cost_volume_planes` ``pack``); the recurrence is isolated per group.
     """
     H, W, D = cost.shape
     S = cost.shape[axis]
@@ -722,10 +790,11 @@ def aggregate_dual(
         scratches = [lprev, lprev]
     out_sd = jax.ShapeDtypeStruct(cost.shape, out_dtype)
     clamp = jnp.dtype(out_dtype).itemsize == 1
+    assert groups == 1 or D % groups == 0
     lf, lb = pl.pallas_call(
         functools.partial(
             _agg_dual_kernel, ks=block_s, p1=float(p1), p2=float(p2),
-            axis=axis, clamp=clamp,
+            axis=axis, clamp=clamp, dg=(D // groups if groups > 1 else 0),
         ),
         grid=(nx, ns),
         in_specs=[spec_f, spec_b],
@@ -747,12 +816,13 @@ _BIGI = 1 << 29  # int32-safe "no competitor" sentinel (consumer treats ≥ this
 
 
 @functools.partial(
-    jax.jit, static_argnames=("d_valid", "emit_transposed", "interpret")
+    jax.jit, static_argnames=("d_valid", "emit_transposed", "groups", "interpret")
 )
 def sum_wta(
     vols,
     d_valid: int,
     emit_transposed: bool = True,
+    groups: int = 1,
     interpret: bool = False,
 ):
     """4 × (H, W, D) path volumes → (s_t, best, idx, cm, cp, competitor).
@@ -760,6 +830,12 @@ def sum_wta(
     ``s_t`` is the summed volume already transposed to (D, H, W) int16 for
     :func:`right_disparity` (None unless ``emit_transposed``); the statistics
     follow :func:`_wta_stats` semantics with lanes ≥ ``d_valid`` masked out.
+
+    ``groups=2`` (lane-packed halves): the statistics are taken per
+    D/2-lane group and returned stacked along rows — outputs are
+    (2·H, W) with rows [0, H) from group 0 and [H, 2H) from group 1, matching
+    the packed pseudo-volume's row split; ``d_valid`` and ``idx`` are
+    group-local.
 
     Plain XLA, deliberately: the sum + minor-dim reductions + transpose fuse
     into one pass over the volumes that measured ~1.6× faster than a
@@ -769,24 +845,44 @@ def sum_wta(
     """
     del interpret  # XLA path — flag kept for call-site symmetry
     D = vols[0].shape[-1]
+    dg = D // groups
     s = sum(v.astype(jnp.int32) for v in vols)
     d_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-    if d_valid < D:
-        s = jnp.where(d_iota >= d_valid, _BIGI >> 8, s)
+    dl = d_iota % dg if groups > 1 else d_iota
+    if d_valid < dg:
+        s = jnp.where(dl >= d_valid, _BIGI >> 8, s)
     # one reduction for (best, argmin): key = s·D′ + d is exact in int32 as
     # long as s < 2³¹/D′ — real sums are ≤ 4·32767 ≪ that; clamp for safety
     dp = 1
-    while dp < D:
+    while dp < dg:
         dp *= 2
-    key = jnp.minimum(s, (1 << 30) // dp - 1) * dp + d_iota
-    kmin = jnp.min(key, axis=-1)
-    best = kmin // dp
-    idx = kmin % dp
-    cm = jnp.min(jnp.where(d_iota == idx[..., None] - 1, s, _BIGI), axis=-1)
-    cp = jnp.min(jnp.where(d_iota == idx[..., None] + 1, s, _BIGI), axis=-1)
-    comp = jnp.min(
-        jnp.where(jnp.abs(d_iota - idx[..., None]) > 1, s, _BIGI), axis=-1
-    )
+    key = jnp.minimum(s, (1 << 30) // dp - 1) * dp + dl
+    outs = []
+    for g in range(groups):
+        if groups == 1:
+            kg = key
+            sg = s
+            dlg = dl
+        else:
+            gmask = (d_iota >= g * dg) & (d_iota < (g + 1) * dg)
+            kg = jnp.where(gmask, key, jnp.int32((1 << 30) - 1))
+            sg = jnp.where(gmask, s, _BIGI)
+            dlg = dl
+        kmin = jnp.min(kg, axis=-1)
+        best = kmin // dp
+        idx = kmin % dp
+        cm = jnp.min(jnp.where(dlg == idx[..., None] - 1, sg, _BIGI), axis=-1)
+        cp = jnp.min(jnp.where(dlg == idx[..., None] + 1, sg, _BIGI), axis=-1)
+        comp = jnp.min(
+            jnp.where(jnp.abs(dlg - idx[..., None]) > 1, sg, _BIGI), axis=-1
+        )
+        outs.append((best, idx, cm, cp, comp))
+    if groups == 1:
+        best, idx, cm, cp, comp = outs[0]
+    else:
+        best, idx, cm, cp, comp = (
+            jnp.concatenate(parts, axis=0) for parts in zip(*outs)
+        )
     s_t = None
     if emit_transposed:
         s_t = jnp.transpose(jnp.minimum(s, 30000), (2, 0, 1)).astype(jnp.int16)
@@ -848,15 +944,21 @@ def _rdisp_kernel(aggt_ref, out_ref, best_ref, idx_ref, *, bd: int, d_valid: int
 
 @functools.partial(
     jax.jit,
-    static_argnames=("d_valid", "block_h", "block_d", "pre_transposed", "interpret"),
+    static_argnames=(
+        "d_valid", "block_h", "block_d", "pre_transposed", "plane_offset", "interpret"
+    ),
 )
 def right_disparity(
     agg: jax.Array, d_valid: int, block_h: int = 8, block_d: int = 32,
-    pre_transposed: bool = False, interpret: bool = False,
+    pre_transposed: bool = False, plane_offset: int = 0, interpret: bool = False,
 ):
     """(H, W, D) aggregated volume → (H, W) right-view disparity indices:
     dR(u) = argmin_{d<d_valid} agg[y, u+d, d] (cv2's disp12 companion view,
-    computed from the same volume — no second matching pass)."""
+    computed from the same volume — no second matching pass).
+
+    ``plane_offset``: skip that many leading d-planes (a lane-packed volume's
+    group g lives at planes [g·dg, (g+1)·dg) — one call per group extracts its
+    half's right disparity without slicing a copy of the volume)."""
     if pre_transposed:  # (D, H, W) straight from the fused aggregation pass
         aggt = agg
         D, H, W = agg.shape
@@ -867,13 +969,17 @@ def right_disparity(
     if Wp != W:
         aggt = jnp.pad(aggt, ((0, 0), (0, 0), (0, Wp - W)))
     nh = pl.cdiv(H, block_h)
-    nd = pl.cdiv(D, block_d)
+    nd = pl.cdiv(d_valid, block_d)
+    assert plane_offset % block_d == 0 and plane_offset + d_valid <= D
+    off_b = plane_offset // block_d
     out = pl.pallas_call(
         functools.partial(_rdisp_kernel, bd=block_d, d_valid=d_valid, w=W),
         grid=(nh, nd),
         in_specs=[
             pl.BlockSpec(
-                (block_d, block_h, Wp), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+                (block_d, block_h, Wp),
+                lambda i, j: (j + off_b, i, 0),
+                memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec((block_h, Wp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),

@@ -65,7 +65,14 @@ class SGMParams:
     # resolution — ~(num_disparities/refine_range)× less full-res work
     mode: str = "full"
     coarse_scale: int = 4
-    refine_range: int = 128
+    refine_range: int = 64
+    # lane packing: pack=2 solves the image's top/bottom halves as two
+    # independent 64-lane disparity groups of one 128-lane volume — every
+    # volume stage halves. Requires num_disparities ≤ 64; vertical paths
+    # restart at the half seam (same warm-up approximation as the multi-chip
+    # row tiling in parallel/disparity). Set internally by the hier refine
+    # when refine_range ≤ 64; usable directly for small-range full searches.
+    pack: int = 1
 
 
 def reference_preset(mode: str = "hier") -> "SGMParams":
@@ -99,7 +106,14 @@ def census_cost_volume(left: jax.Array, right: jax.Array, p: SGMParams) -> jax.A
     """
     cl = im.census_transform(left, p.census_ksize, p.census_wsize)   # (H, W, nw)
     cr = im.census_transform(right, p.census_ksize, p.census_wsize)
-    H, W = left.shape[-2], left.shape[-1]
+    return cost_from_census(cl, cr, p)
+
+
+def cost_from_census(cl: jax.Array, cr: jax.Array, p: SGMParams) -> jax.Array:
+    """(H, W, nw) census pair → (H, W, D) cost volume (see
+    :func:`census_cost_volume`; split out so lane-packed halves can share one
+    full-image census — the seam rows must see real neighbor rows)."""
+    H, W = cl.shape[0], cl.shape[1]
     D = p.num_disparities
     n_bits = p.census_ksize * p.census_wsize - 1
     x = jnp.arange(W)
@@ -273,6 +287,14 @@ def _left_right_check(agg: jax.Array, disp: jax.Array, p: SGMParams,
             agg, D, pre_transposed=pre_transposed,
             interpret=(impl == "pallas_interpret"),
         )
+    return _lr_compare(disp, disp_r_idx, p, impl)
+
+
+def _lr_compare(disp, disp_r_idx, p: SGMParams, impl: str):
+    """|dL(x) − dR(x − dL)| ≤ maxDiff given the right-view disparity indices
+    (shared by the plain and lane-packed cores)."""
+    W = disp.shape[-1]
+    D = p.num_disparities
     disp_r = disp_r_idx.astype(jnp.float32) + p.min_disparity
     # disp_r's array index u holds the disparity of RIGHT pixel u − min_d (the
     # diagonal S[y, u+i, i] covers left pixel u+i matching right pixel
@@ -395,6 +417,102 @@ def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
     return None, (best, idx, cm, cp, comp), s_t
 
 
+def _disparity_core(left, right, params: SGMParams, impl: str):
+    """census → cost → aggregation → WTA → LR check (no speckle/median/fill).
+    Inputs are float32 (H, W); returns (disp float32 px, valid bool)."""
+    stats = None
+    agg_t = None
+    if impl == "xla":
+        cost = census_cost_volume(left, right, params)
+        agg = aggregate(cost, params)
+    else:
+        agg, stats, agg_t = _cost_aggregate_pallas(
+            left, right, params, impl == "pallas_interpret"
+        )
+    disp, valid = _wta(agg, params, stats)
+    if params.lr_max_diff >= 0:
+        valid = valid & _left_right_check(agg if agg_t is None else agg_t, disp,
+                                          params, pre_transposed=agg_t is not None)
+    return disp, valid
+
+
+def _disparity_core_packed(left, right, params: SGMParams, impl: str):
+    """Lane-packed core (pack=2): the top/bottom halves of the image travel as
+    two independent 64-lane disparity groups of one (H/2, W, 128) pseudo-volume
+    — cost, aggregation, and WTA traffic all halve. Vertical SGM paths restart
+    at the half seam (the same warm-up approximation as the row tiling in
+    parallel/disparity); everything else is exact. The XLA path runs the two
+    halves separately at D ≤ 64 over a shared full-image census — bit-identical
+    to the packed kernels (parity-tested).
+    """
+    H, W = left.shape
+    bh = 8  # cost-kernel row block: the half height must be a block multiple
+    Hh = -(-(-(-H // 2)) // bh) * bh
+    Hp = 2 * Hh
+    if Hp != H:  # replicate-pad the bottom rows (both impls see the same rows)
+        left = jnp.concatenate([left, jnp.repeat(left[-1:], Hp - H, axis=0)], axis=0)
+        right = jnp.concatenate([right, jnp.repeat(right[-1:], Hp - H, axis=0)], axis=0)
+
+    if impl == "xla":
+        cl = im.census_transform(left, params.census_ksize, params.census_wsize)
+        cr = im.census_transform(right, params.census_ksize, params.census_wsize)
+        parts = []
+        for g in (0, 1):
+            sl = slice(g * Hh, (g + 1) * Hh)
+            cost = cost_from_census(cl[sl], cr[sl], params)
+            agg = aggregate(cost, params)
+            disp_g, valid_g = _wta(agg, params)
+            if params.lr_max_diff >= 0:
+                valid_g = valid_g & _left_right_check(agg, disp_g, params)
+            parts.append((disp_g, valid_g))
+        disp = jnp.concatenate([parts[0][0], parts[1][0]], axis=0)
+        valid = jnp.concatenate([parts[0][1], parts[1][1]], axis=0)
+        return disp[:H], valid[:H]
+
+    from stereovision_tpu.ops import sgm_pallas
+
+    interpret = impl == "pallas_interpret"
+    p = params
+    D = p.num_disparities  # ≤ 64: one lane group per image half
+    cl = sgm_pallas.census_words(
+        left, p.census_ksize, p.census_wsize, interpret=interpret
+    )
+    crr = sgm_pallas.census_words(
+        right[:, ::-1], p.census_ksize, p.census_wsize, mirror=True,
+        interpret=interpret,
+    )
+    n_bits = p.census_ksize * p.census_wsize - 1
+    cost, cost_t = sgm_pallas.cost_volume_planes(
+        cl, crr, W, 128, d_valid=D, min_d=p.min_disparity,
+        max_cost=float(n_bits), transposed=1, pack=2, interpret=interpret,
+    )
+    vol_dt = jnp.int8 if (n_bits + p.p2) <= 127 else jnp.int16
+    dual = functools.partial(
+        sgm_pallas.aggregate_dual, p1=p.p1, p2=p.p2, out_dtype=vol_dt,
+        groups=2, interpret=interpret,
+    )
+    hf_t, hb_t = dual(cost_t, axis=0)
+    vf, vb = dual(cost, axis=0)
+    hsum = jnp.transpose(
+        hf_t.astype(jnp.int16) + hb_t.astype(jnp.int16), (1, 0, 2)
+    )
+    s_t, best, idx, cm, cp, comp = sgm_pallas.sum_wta(
+        (hsum, vf, vb), d_valid=D, groups=2,
+        emit_transposed=p.lr_max_diff >= 0, interpret=interpret,
+    )
+    disp, valid = _wta(None, p, (best, idx, cm, cp, comp))
+    if p.lr_max_diff >= 0:
+        r0 = sgm_pallas.right_disparity(
+            s_t, D, pre_transposed=True, interpret=interpret
+        )
+        r1 = sgm_pallas.right_disparity(
+            s_t, D, pre_transposed=True, plane_offset=64, interpret=interpret
+        )
+        disp_r = jnp.concatenate([r0, r1], axis=0)
+        valid = valid & _lr_compare(disp, disp_r, p, impl)
+    return disp[:H], valid[:H]
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def compute_disparity(left: jax.Array, right: jax.Array, params: SGMParams = SGMParams()):
     """Rectified grayscale pair (H, W) → (disparity float32 px, valid bool).
@@ -412,19 +530,11 @@ def compute_disparity(left: jax.Array, right: jax.Array, params: SGMParams = SGM
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
     impl = _resolve_impl(params.impl)
-    stats = None
-    agg_t = None
-    if impl == "xla":
-        cost = census_cost_volume(left, right, params)
-        agg = aggregate(cost, params)
+    if params.pack == 2:
+        assert params.num_disparities <= 64, "pack=2 needs num_disparities ≤ 64"
+        disp, valid = _disparity_core_packed(left, right, params, impl)
     else:
-        agg, stats, agg_t = _cost_aggregate_pallas(
-            left, right, params, impl == "pallas_interpret"
-        )
-    disp, valid = _wta(agg, params, stats)
-    if params.lr_max_diff >= 0:
-        valid = valid & _left_right_check(agg if agg_t is None else agg_t, disp,
-                                          params, pre_transposed=agg_t is not None)
+        disp, valid = _disparity_core(left, right, params, impl)
     valid = _speckle_suppress(disp, valid, params)
     if params.median_ksize > 1:
         disp = im.median_blur(disp, params.median_ksize)
@@ -448,17 +558,18 @@ def _compute_disparity_hier(left, right, p: SGMParams):
     right = right.astype(jnp.float32)
 
     dc_n = -(-p.num_disparities // s)  # ceil
-    # The coarse estimate only seeds the refine window: skip the expensive LR
-    # check (the rdisp diagonal pass) but KEEP the uniqueness test — it is free
-    # (fused WTA statistics) and catches aliased too-low matches on repetitive
-    # texture, which the min-erosion envelope would otherwise propagate (the
-    # envelope only absorbs too-high coarse errors; invalid pixels get
-    # mean-filled before warping instead).
+    # The coarse pass KEEPS the LR check (cheap at 1/s² pixels): near the left
+    # edge (x < true disparity) every true match is out of image, so WTA
+    # returns garbage-LOW disparities that the uniqueness test alone does not
+    # catch — and the min-erosion envelope would propagate them R columns
+    # inward, shrinking the refine window below the true disparity (the
+    # envelope only absorbs too-HIGH coarse errors). LR invalidates them;
+    # invalid pixels get mean-filled before warping instead.
     coarse_p = _dc.replace(
         p, mode="full", num_disparities=max(16, dc_n),
         min_disparity=p.min_disparity // s,
         median_ksize=3, speckle_window_size=0, refine_range=R,
-        lr_max_diff=-1,
+        pack=1,
     )
     lc = im.resize(left, (H // s, W // s))
     rc = im.resize(right, (H // s, W // s))
@@ -478,7 +589,11 @@ def _compute_disparity_hier(left, right, p: SGMParams):
     margin = 4.0 + s
     env = d_up
     k = 1
-    while k <= R:
+    # doubling shifts k = 1, 2, …, R/2 give erosion radius exactly R−1 — the
+    # guarantee needs shift(x−i) bounded for i < R only; eroding further (the
+    # old k ≤ R loop reached 2R−1) wastes window headroom near low-disparity
+    # regions and costs high-side coverage
+    while k < R:
         left_sh = jnp.concatenate([env[:, k:], jnp.repeat(env[:, -1:], k, axis=1)], axis=1)
         right_sh = jnp.concatenate([jnp.repeat(env[:, :1], k, axis=1), env[:, :-k]], axis=1)
         env = jnp.minimum(env, jnp.minimum(left_sh, right_sh))
@@ -502,9 +617,26 @@ def _compute_disparity_hier(left, right, p: SGMParams):
             interpret=(impl == "pallas_interpret"),
         )
 
-    refine_p = _dc.replace(p, mode="full", num_disparities=R, min_disparity=0)
+    refine_p = _dc.replace(
+        p, mode="full", num_disparities=R, min_disparity=0,
+        pack=2 if R <= 64 else 1,
+    )
     disp_r, valid = compute_disparity(left, warped_right, refine_p)
-    disp = jnp.where(valid, disp_r + shift, float(p.min_disparity) - 1.0)
+    # cost(x, i) compared left[x] against warped_right[x−i] =
+    # right[(x−i) − shift(x−i)], so the recovered disparity is
+    # disp(x) = dr(x) + shift(x − dr(x)) — the shift field travels with the
+    # right image's columns, NOT with x (adding shift(x) biases slanted
+    # surfaces by slope·dr). Gather shift at the matched column.
+    drr = jnp.clip(jnp.round(disp_r).astype(jnp.int32), 0, xs)
+    if impl == "xla":
+        shift_at = jnp.take_along_axis(shift, xs - drr, axis=1)
+    else:
+        from stereovision_tpu.ops import sgm_pallas
+
+        shift_at = sgm_pallas.shift_gather(
+            shift, drr, R, interpret=(impl == "pallas_interpret")
+        )
+    disp = jnp.where(valid, disp_r + shift_at, float(p.min_disparity) - 1.0)
     return disp, valid
 
 

@@ -231,3 +231,24 @@ class TestShadedScene:
             core = d[y0 + 8:y0 + h - 8, x0 + 8:x0 + w - 8]
             cv_ = v[y0 + 8:y0 + h - 8, x0 + 8:x0 + w - 8]
             assert abs(np.median(core[cv_]) - dd) < 1.0, (dd, np.median(core[cv_]))
+
+
+class TestHierLargeDisparity:
+    def test_constant_disparity_near_window_cap(self):
+        """Regression: a constant disparity larger than the refine window used
+        to fail — left-edge coarse pixels (x < true disparity) returned
+        garbage-low VALID matches (no LR check in the coarse pass) and the
+        over-wide min-erosion (radius 2R−1 instead of R−1) dragged the refine
+        window below the true disparity across ~2R columns."""
+        rng = np.random.default_rng(3)
+        base = cv2.GaussianBlur(
+            rng.uniform(0, 255, (160, 410)).astype(np.float32), (5, 5), 1.0
+        )
+        left, right = base[:, :320], base[:, 72:392]  # disparity 72
+        p = SGMParams(num_disparities=96, mode="hier", coarse_scale=2, refine_range=64)
+        d, v = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
+        d, v = np.asarray(d), np.asarray(v)
+        vi = v[10:-10, 100:-10]
+        assert vi.mean() > 0.9, vi.mean()
+        err = np.abs(d[10:-10, 100:-10][vi] - 72.0)
+        assert np.median(err) < 0.25, np.median(err)

@@ -153,3 +153,100 @@ class TestSpeckleKernel:
             ref = jnp.maximum(ref, c)
         out = sgm_pallas.speckle_counts(dvj, k, r, nbins, interpret=True)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestLanePacked:
+    """pack=2: the image halves travel as two 64-lane disparity groups.
+
+    Semantics contract: identical to solving each half independently at
+    D ≤ 64 over a shared full-image census (vertical paths restart at the
+    half seam). The XLA path implements exactly that, so parity here pins the
+    packed kernels to the definition.
+    """
+
+    def _pair(self, h, w, shift=5):
+        base = RNG.uniform(0, 255, size=(h, w + shift)).astype(np.float32)
+        return base[:, :w], base[:, shift : shift + w]
+
+    def test_packed_parity(self):
+        left, right = self._pair(48, 120)
+        p_x = SGMParams(num_disparities=16, pack=2, impl="xla")
+        p_p = dataclasses.replace(p_x, impl="pallas_interpret")
+        dx, vx = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_x)
+        dp, vp = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_p)
+        np.testing.assert_array_equal(np.asarray(dp), np.asarray(dx))
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(vx))
+
+    def test_packed_parity_odd_height_min_disparity(self):
+        left, right = self._pair(37, 120, shift=9)
+        p_x = SGMParams(min_disparity=4, num_disparities=16, pack=2, impl="xla")
+        p_p = dataclasses.replace(p_x, impl="pallas_interpret")
+        dx, vx = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_x)
+        dp, vp = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_p)
+        np.testing.assert_array_equal(np.asarray(dp), np.asarray(dx))
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(vp))
+
+    def test_packed_matches_manual_halves(self):
+        """The packed result equals per-half solves over a full-image census."""
+        from stereovision_tpu.core import image as im
+        from stereovision_tpu.stereo.sgm import (
+            _left_right_check, _wta, aggregate, cost_from_census,
+        )
+
+        left, right = self._pair(48, 120)
+        p = SGMParams(num_disparities=16, impl="xla")
+        lj, rj = jnp.asarray(left), jnp.asarray(right)
+        cl = im.census_transform(lj, p.census_ksize, p.census_wsize)
+        cr = im.census_transform(rj, p.census_ksize, p.census_wsize)
+        halves = []
+        for sl in (slice(0, 24), slice(24, 48)):
+            agg = aggregate(cost_from_census(cl[sl], cr[sl], p), p)
+            d_g, v_g = _wta(agg, p)
+            v_g = v_g & _left_right_check(agg, d_g, p)
+            halves.append((d_g, v_g))
+        from stereovision_tpu.stereo.sgm import _speckle_suppress
+
+        disp = jnp.concatenate([halves[0][0], halves[1][0]], axis=0)
+        valid = jnp.concatenate([halves[0][1], halves[1][1]], axis=0)
+        valid = _speckle_suppress(disp, valid, p)
+        disp = im.median_blur(disp, p.median_ksize)
+        disp = jnp.where(valid, disp, float(p.min_disparity) - 1.0)
+
+        pk = dataclasses.replace(p, pack=2, impl="pallas_interpret")
+        dp_, vp_ = compute_disparity(lj, rj, pk)
+        np.testing.assert_array_equal(np.asarray(dp_), np.asarray(disp))
+        np.testing.assert_array_equal(np.asarray(vp_), np.asarray(valid))
+
+    def test_hier_packed_refine_quality(self):
+        """hier with a 64-window packed refine recovers a slanted surface to
+        the same tolerance as the full search (the production 720p shape)."""
+        import cv2
+
+        h, w = 144, 256
+        gt = 8 + 56 * np.arange(w, dtype=np.float32) / w  # 8..64 px across
+        base = cv2.GaussianBlur(
+            RNG.uniform(0, 255, size=(h, w + 80)).astype(np.float32), (5, 5), 1.0
+        )
+        right = base[:, 80 : 80 + w].copy()
+        # left pixel x matches right pixel x − gt(x): sample base at 80+x−gt
+        left = np.empty((h, w), np.float32)
+        for c in range(w):
+            src = 80 + c - gt[c]
+            i0 = int(np.floor(src))
+            f = src - i0
+            left[:, c] = (1 - f) * base[:, i0] + f * base[:, i0 + 1]
+        p = SGMParams(num_disparities=96, mode="hier", coarse_scale=2, refine_range=64)
+        d, v = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
+        d, v = np.asarray(d), np.asarray(v)
+        # full-search reference on the same pair
+        df, vf = compute_disparity(
+            jnp.asarray(left), jnp.asarray(right), SGMParams(num_disparities=96)
+        )
+        df, vf = np.asarray(df), np.asarray(vf)
+        inner = np.s_[10:-10, 80:-10]
+        vi = v[inner]
+        assert vi.mean() > 0.7, vi.mean()
+        err = np.abs(d[inner] - gt[None, 80:-10])[vi]
+        err_f = np.abs(df[inner] - gt[None, 80:-10])[vf[inner]]
+        assert np.median(err) < max(0.6, 1.3 * np.median(err_f)), (
+            np.median(err), np.median(err_f))
