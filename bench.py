@@ -49,7 +49,7 @@ def bench_tpu(left_np, right_np):
     fn = jax.jit(lambda ls, rs: compute_disparity_batch(ls, rs, params))
     disp, _ = fn(left, right)
     float(jnp.sum(disp))  # force full execution through the async tunnel
-    n = 3
+    n = 8  # amortize the ~30 ms tunnel readback over n*BATCH frames
     t0 = time.perf_counter()
     for _ in range(n):
         disp, _ = fn(left, right)

@@ -14,11 +14,21 @@ boundaries (halo warm-up absorbs most of the error). This module computes the
   ``ppermute``);
 - WTA/uniqueness/LR are row-local; speckle/median see halo rows.
 
-The ntiles× revisit of the vertical scan is the price of exactness in the
-simple formulation (a frame-pipelined chain that hides it is round-2 work);
-horizontal paths — half the aggregation — run once. Built from the XLA
-building blocks so it runs anywhere (the Pallas kernels would need a boundary
-input — roadmap).
+Two evaluation strategies:
+
+- :func:`sharded_disparity_exact` — ntiles sequential sweeps per frame; at
+  sweep t the boundary produced by tile t−1 is final. Simple, but the
+  vertical scan is revisited ntiles×.
+- :func:`sharded_disparity_exact_pipelined` — software-pipelines the chain
+  over the local frame batch: at pipeline step t, tile k aggregates frame
+  t−k (downward chain) and frame t−(T−1−k) (upward chain), shipping one
+  (X, D) boundary row per direction over ICI between steps. Every tile does
+  useful work every step once the pipe fills: B+T−1 steps for B frames
+  instead of B·T sweeps — vertical-path efficiency B/(B+T−1) → 1 for deep
+  batches, with the same bit-exact result.
+
+Built from the XLA building blocks so it runs anywhere (the Pallas kernels
+would need a boundary input — roadmap).
 """
 
 from __future__ import annotations
@@ -132,6 +142,110 @@ def sharded_disparity_exact(left, right, params: S.SGMParams, mesh: Mesh):
     def body(l, r):
         f = functools.partial(_tile_body, p=params, halo=halo, axis_name="tile")
         return jax.vmap(f)(l, r)
+
+    spec = P("frame", "tile", None)
+    fn = jax.jit(shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                           out_specs=(spec, spec), check_vma=False))
+    left = jax.device_put(jnp.asarray(left), NamedSharding(mesh, spec))
+    right = jax.device_put(jnp.asarray(right), NamedSharding(mesh, spec))
+    return fn(left, right)
+
+
+def _vertical_chain_pipelined(cost, p1, p2, axis_name, reverse=False):
+    """Exact cross-tile vertical aggregation of a local frame BATCH
+    (Bl, Sl, X, D), software-pipelined over frames.
+
+    Pipeline step t: this tile (scan position ``pos``) aggregates its slab of
+    frame t − pos, seeded by the boundary row its predecessor shipped at step
+    t−1 (which belongs to exactly that frame), then ships its own final L row
+    via ``ppermute``. Bl + T − 1 steps total; out-of-range steps compute on a
+    clamped frame and their writes are masked.
+    """
+    ntiles = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    Bl, Sl, X, D = cost.shape
+    pos = (ntiles - 1 - idx) if reverse else idx
+    perm = (
+        [(i, i - 1) for i in range(1, ntiles)]
+        if reverse
+        else [(i, i + 1) for i in range(ntiles - 1)]
+    )
+
+    def step(carry, t):
+        vols, boundary = carry
+        f = t - pos
+        in_range = (f >= 0) & (f < Bl)
+        fc = jnp.clip(f, 0, Bl - 1)
+        cslab = jax.lax.dynamic_index_in_dim(cost, fc, 0, keepdims=False)
+        if reverse:
+            cslab = cslab[::-1]
+        l_new = _scan_with_boundary(cslab, boundary, pos == 0, p1, p2)
+        boundary_next = jax.lax.ppermute(l_new[-1], axis_name, perm)
+        out_slab = l_new[::-1] if reverse else l_new
+        old = jax.lax.dynamic_index_in_dim(vols, fc, 0, keepdims=False)
+        vols = jax.lax.dynamic_update_index_in_dim(
+            vols, jnp.where(in_range, out_slab, old), fc, 0
+        )
+        return (vols, boundary_next), None
+
+    vols0 = jnp.zeros_like(cost)
+    boundary0 = jnp.zeros((X, D), cost.dtype)
+    (vols, _), _ = jax.lax.scan(
+        step, (vols0, boundary0), jnp.arange(Bl + ntiles - 1)
+    )
+    return vols
+
+
+def sharded_disparity_exact_pipelined(left, right, params: S.SGMParams, mesh: Mesh):
+    """(B, H, W) pairs → bit-exact single-device disparity, row-tiled over
+    'tile' and batched over 'frame', with the cross-tile vertical chains
+    software-pipelined over each shard's frame batch (see module docstring).
+
+    Reference implementation in XLA building blocks: the per-shard cost
+    volumes for the whole local batch are materialized up front ((Bl, Sl, X,
+    D) — sized for validation batches; a production variant would stream
+    cost slabs through the pipeline instead).
+    """
+    p = params
+    halo = max(p.census_wsize // 2, p.census_ksize // 2, p.median_ksize // 2, 8)
+
+    def body(l, r):
+        # frame-local, exact per tile: census halo + cost + horizontal paths
+        def local(lf, rf):
+            lh = _halo_exchange(lf, halo, "tile")
+            rh = _halo_exchange(rf, halo, "tile")
+            cost = S.census_cost_volume(lh, rh, p)[halo:-halo]
+            p1, p2 = jnp.float32(p.p1), jnp.float32(p.p2)
+            cost_w = jnp.moveaxis(cost, 1, 0)
+            sh = jnp.moveaxis(S._aggregate_dir(cost_w, p1, p2), 0, 1)
+            sh = sh + jnp.moveaxis(S._aggregate_dir(cost_w[::-1], p1, p2)[::-1], 0, 1)
+            return cost, sh
+
+        cost, s = jax.vmap(local)(l, r)
+        p1, p2 = jnp.float32(p.p1), jnp.float32(p.p2)
+        s = s + _vertical_chain_pipelined(cost, p1, p2, "tile", reverse=False)
+        s = s + _vertical_chain_pipelined(cost, p1, p2, "tile", reverse=True)
+
+        def post(s_f):
+            disp, valid = S._wta(s_f, p)
+            if p.lr_max_diff >= 0:
+                valid = valid & S._left_right_check(s_f, disp, p)
+            return disp, valid
+
+        disp, valid = jax.vmap(post)(s)
+
+        def finish(disp_f, valid_f):
+            disp_h = _halo_exchange(disp_f, halo, "tile")
+            valid_h = _halo_exchange(valid_f, halo, "tile")
+            valid_h = S._speckle_suppress(disp_h, valid_h, p)
+            if p.median_ksize > 1:
+                disp_h = im.median_blur(disp_h, p.median_ksize)
+            disp_o = jnp.where(
+                valid_h, disp_h, float(p.min_disparity) - 1.0
+            )[halo:-halo]
+            return disp_o, valid_h[halo:-halo]
+
+        return jax.vmap(finish)(disp, valid)
 
     spec = P("frame", "tile", None)
     fn = jax.jit(shard_map(body, mesh=mesh, in_specs=(spec, spec),

@@ -96,3 +96,39 @@ class TestExactTileParallel:
         disp, valid = sharded_disparity_exact(left, right, p, mesh)
         d_ref, v_ref = compute_disparity(jnp.asarray(left[0]), jnp.asarray(right[0]), p)
         np.testing.assert_allclose(np.asarray(disp[0]), np.asarray(d_ref), atol=0)
+
+
+class TestPipelinedExact:
+    def test_pipelined_bit_exact_vs_single_device(self):
+        """The software-pipelined vertical chain (one boundary ppermute per
+        pipeline step, B+T−1 steps for B frames) must reproduce the
+        single-device result exactly, like the sweep formulation."""
+        from stereovision_tpu.parallel.disparity_exact import (
+            sharded_disparity_exact_pipelined,
+        )
+
+        left, right = pair_batch(b=6, h=96, w=96, shift=5)
+        p = SGMParams(num_disparities=16, impl="xla")
+        mesh = make_mesh(frame=2, tile=4)
+        disp, valid = sharded_disparity_exact_pipelined(left, right, p, mesh)
+        for b in range(6):
+            d_ref, v_ref = compute_disparity(jnp.asarray(left[b]), jnp.asarray(right[b]), p)
+            np.testing.assert_allclose(np.asarray(disp[b]), np.asarray(d_ref), atol=0)
+            np.testing.assert_array_equal(np.asarray(valid[b]), np.asarray(v_ref))
+
+    def test_pipelined_single_frame_per_shard(self):
+        """Degenerate pipeline (Bl=1) still exact — pure fill/drain."""
+        from stereovision_tpu.parallel.disparity_exact import (
+            sharded_disparity_exact_pipelined,
+        )
+
+        left, right = pair_batch(b=1, h=64, w=80, shift=4)
+        p = SGMParams(num_disparities=16, impl="xla", lr_max_diff=-1,
+                      speckle_window_size=0, median_ksize=3)
+        import jax
+
+        mesh = make_mesh(frame=1, tile=4, devices=jax.devices()[:4])
+        disp, valid = sharded_disparity_exact_pipelined(left, right, p, mesh)
+        d_ref, v_ref = compute_disparity(jnp.asarray(left[0]), jnp.asarray(right[0]), p)
+        np.testing.assert_allclose(np.asarray(disp[0]), np.asarray(d_ref), atol=0)
+        np.testing.assert_array_equal(np.asarray(valid[0]), np.asarray(v_ref))
