@@ -396,19 +396,42 @@ def _sgm_step_norm(n_prev, c, p1, p2, dg: int = 0):
     return c + best
 
 
-def _renorm(l, dg: int = 0):
-    """L → next normalized carry (min-zero over the lane dim; per lane group
-    of width ``dg`` when the volume is lane-packed — each group must see the
-    constant-P2 invariant of its own minimum)."""
+def _group_min(l, dg: int):
+    """Per-lane-group minimum of (…, D), broadcast back to full lanes."""
     D = l.shape[-1]
     if not dg or dg >= D:
-        return l - jnp.min(l, axis=-1, keepdims=True)
+        return jnp.min(l, axis=-1, keepdims=True)
     assert D == 2 * dg, "lane packing supports exactly two groups"
     liota = jax.lax.broadcasted_iota(jnp.int32, l.shape, l.ndim - 1)
     in0 = liota < dg
     m0 = jnp.min(jnp.where(in0, l, _BIG), axis=-1, keepdims=True)
     m1 = jnp.min(jnp.where(in0, _BIG, l), axis=-1, keepdims=True)
-    return l - jnp.where(in0, m0, m1)
+    return jnp.where(in0, m0, m1)
+
+
+def _renorm(l, dg: int = 0):
+    """L → next normalized carry (min-zero over the lane dim; per lane group
+    of width ``dg`` when the volume is lane-packed — each group must see the
+    constant-P2 invariant of its own minimum)."""
+    return l - _group_min(l, dg)
+
+
+def _sgm_step_raw(prev, c, p1, p2, dg: int = 0):
+    """:func:`_sgm_step_norm` in raw-carry form: carries the unnormalized L
+    and computes the (group) min inside the step. Identical values — the same
+    f32 sums in a different association — but the min-reduce of ``prev`` can
+    issue in parallel with the shift terms instead of serializing the carry
+    chain (renorm → next step). Wins for lane-packed volumes, where the
+    grouped reduce is 2 masked reductions."""
+    shift_m = jnp.concatenate([jnp.full_like(prev[..., :1], _BIG), prev[..., :-1]], axis=-1)
+    shift_p = jnp.concatenate([prev[..., 1:], jnp.full_like(prev[..., :1], _BIG)], axis=-1)
+    if dg and dg < prev.shape[-1]:
+        lm = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 1) % dg
+        shift_m = jnp.where(lm == 0, _BIG, shift_m)
+        shift_p = jnp.where(lm == dg - 1, _BIG, shift_p)
+    mp = _group_min(prev, dg)
+    best = jnp.minimum(jnp.minimum(prev, mp + p2), jnp.minimum(shift_m, shift_p) + p1)
+    return c + best - mp
 
 
 def _wta_stats(s):
@@ -664,7 +687,7 @@ def _dual_auto_block_x(axis: int, X: int, D: int, block_s: int, out_dtype) -> in
     return block_x
 
 
-def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp, dg=0):
+def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp, dg=0, raw=False):
     # The scan loop is unrolled (ks is small and static): every buffer access
     # becomes a static slice, which Mosaic compiles to direct tile accesses,
     # and the `first` select folds to a constant for all iterations but 0.
@@ -710,10 +733,16 @@ def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp, dg=0):
         first = jnp.logical_and(j == 0, it == 0)
         cf = read(cbf_ref if axis == 1 else cf_ref, sf).astype(jnp.float32)
         cb = read(cbb_ref if axis == 1 else cb_ref, sb).astype(jnp.float32)
-        lf = jnp.where(first, cf, _sgm_step_norm(lpf_ref[:], cf, p1, p2, dg))
-        lb = jnp.where(first, cb, _sgm_step_norm(lpb_ref[:], cb, p1, p2, dg))
-        lpf_ref[:] = _renorm(lf, dg)
-        lpb_ref[:] = _renorm(lb, dg)
+        if raw:  # unnormalized carry; the group-min reduce overlaps the shifts
+            lf = jnp.where(first, cf, _sgm_step_raw(lpf_ref[:], cf, p1, p2, dg))
+            lb = jnp.where(first, cb, _sgm_step_raw(lpb_ref[:], cb, p1, p2, dg))
+            lpf_ref[:] = lf
+            lpb_ref[:] = lb
+        else:
+            lf = jnp.where(first, cf, _sgm_step_norm(lpf_ref[:], cf, p1, p2, dg))
+            lb = jnp.where(first, cb, _sgm_step_norm(lpb_ref[:], cb, p1, p2, dg))
+            lpf_ref[:] = _renorm(lf, dg)
+            lpb_ref[:] = _renorm(lb, dg)
         if clamp:
             lf = jnp.minimum(lf, 127.0)
             lb = jnp.minimum(lb, 127.0)
@@ -730,7 +759,10 @@ def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp, dg=0):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p1", "p2", "axis", "block_s", "block_x", "out_dtype", "groups", "interpret"),
+    static_argnames=(
+        "p1", "p2", "axis", "block_s", "block_x", "out_dtype", "groups",
+        "carry", "interpret",
+    ),
 )
 def aggregate_dual(
     cost: jax.Array,
@@ -741,6 +773,7 @@ def aggregate_dual(
     block_x: int | None = None,
     out_dtype=jnp.int16,
     groups: int = 1,
+    carry: str = "auto",
     interpret: bool = False,
 ):
     """Both directional path-cost volumes along ``axis`` of cost (H, W, D) in
@@ -791,10 +824,15 @@ def aggregate_dual(
     out_sd = jax.ShapeDtypeStruct(cost.shape, out_dtype)
     clamp = jnp.dtype(out_dtype).itemsize == 1
     assert groups == 1 or D % groups == 0
+    if carry == "auto":
+        # grouped volumes: the raw-carry step lets the (2-reduction) group
+        # min overlap the shift terms instead of serializing the carry chain
+        carry = "raw" if groups > 1 else "norm"
     lf, lb = pl.pallas_call(
         functools.partial(
             _agg_dual_kernel, ks=block_s, p1=float(p1), p2=float(p2),
             axis=axis, clamp=clamp, dg=(D // groups if groups > 1 else 0),
+            raw=(carry == "raw"),
         ),
         grid=(nx, ns),
         in_specs=[spec_f, spec_b],
