@@ -7,12 +7,13 @@ small: an EfficientNet-Lite3-style inverted-residual encoder tapped at strides
 4/8/16/32 and a RefineNet-lite decoder (residual conv units + progressive
 2× upsampling) with a 1-channel ReLU head.
 
-Weight porting: the torch-hub checkpoint (`intel-isl/MiDaS` MiDaS_small) cannot
-be fetched in this offline environment; :func:`load_torch_state_dict` maps a
-downloaded ``state_dict`` onto these parameters when one is provided. Until
-then the network runs with random init — the fusion pipeline is functional
-(confidence + range calibration do not depend on depth quality) but mono-NN
-depth accuracy awaits real weights.
+Weight porting: the torch-hub checkpoint (`intel-isl/MiDaS` MiDaS_small)
+cannot be fetched in this offline environment; :func:`load_torch_state_dict`
+implements the porting path — an order/shape structural mapping (conv
+OIHW→HWIO, bn running stats→batch_stats), round-trip tested against a
+synthetic torch-layout checkpoint. Until real weights are supplied the
+network ships with bundled synthetic-pretrained weights
+(models/pretrained, trained on procedural scenes by models/train_synthetic).
 
 All convs are NHWC + bf16-friendly; the whole forward is one fused XLA program
 under jit/pjit and batches over frames.
@@ -139,14 +140,119 @@ class MidasSmall(nn.Module):
         return jax.nn.softplus(d)[..., 0]
 
 
-def load_torch_state_dict(params, state_dict):  # pragma: no cover - needs weights
-    """Map a torch MiDaS_small state_dict onto this module's params.
+def _walk_ordered(tree, path=()):
+    """Yield (path, leaf) in the tree's own insertion order — for flax
+    variables this is module-creation order (dicts are insertion-ordered),
+    which is what a torch state_dict's layer order corresponds to."""
+    items = tree.items() if hasattr(tree, "items") else None
+    if items is None:
+        yield path, tree
+        return
+    for k, v in items:
+        yield from _walk_ordered(v, path + (k,))
 
-    Not executable offline (no checkpoint available in the image); provided as
-    the documented porting path: torch convs are OIHW → transpose to HWIO,
-    batch-norm running stats map to BatchNorm mean/var collections.
+
+def load_torch_state_dict(variables, state_dict):
+    """Map a torch checkpoint with an isomorphic module sequence onto this
+    model's flax ``variables`` ({'params', 'batch_stats'}).
+
+    Structural (order + shape) mapping, since torch layer names differ from
+    flax auto-names: tensors are consumed from the state_dict in insertion
+    order and paired per kind — 4-D ``.weight`` → conv kernels (OIHW→HWIO;
+    depthwise (C,1,kh,kw)→(kh,kw,1,C) falls out of the same transpose),
+    1-D ``.weight``/``.bias``/``running_mean``/``running_var`` of batch-norm
+    modules → BatchNorm scale/bias and batch_stats mean/var, remaining
+    ``.bias`` → conv biases. Every assignment is shape-checked; a structure
+    mismatch raises with both paths named. Returns new variables.
     """
-    raise NotImplementedError(
-        "offline environment: download MiDaS_small weights and implement the "
-        "name mapping here (conv OIHW→HWIO, bn running stats→batch_stats)"
-    )
+    import numpy as np
+
+    # classify torch tensors in insertion order
+    by_prefix = {}
+    order = []
+    for name, t in state_dict.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        prefix, leaf = name.rsplit(".", 1) if "." in name else ("", name)
+        by_prefix.setdefault(prefix, {})[leaf] = np.asarray(t)
+        if prefix not in order:
+            order.append(prefix)
+    conv_w, conv_b, bn = [], [], []
+    for prefix in order:
+        mod = by_prefix[prefix]
+        w = mod.get("weight")
+        if w is not None and w.ndim == 4:
+            conv_w.append((prefix, w))
+            if "bias" in mod:
+                conv_b.append((prefix, mod["bias"]))
+        elif "running_mean" in mod:
+            bn.append((prefix, mod))
+        elif "bias" in mod and w is None:
+            conv_b.append((prefix, mod["bias"]))
+
+    from flax.core import unfreeze
+
+    params = unfreeze(jax.device_get(variables["params"]))
+    stats = unfreeze(jax.device_get(variables.get("batch_stats", {})))
+
+    def set_in(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        node[path[-1]] = value
+
+    def check(name, path, got, want):
+        if tuple(got.shape) != tuple(want.shape):
+            raise ValueError(
+                f"shape mismatch mapping torch '{name}' -> {'/'.join(path)}: "
+                f"{got.shape} vs {want.shape}"
+            )
+
+    # conv kernels/biases and bn scale/bias walk params in creation order;
+    # each flax BatchNorm module binds to the next torch bn module the first
+    # time any of its leaves appears (leaf order within a module is free)
+    bn_assign: dict = {}
+
+    def bn_for(path):
+        mp = path[:-1]
+        if mp not in bn_assign:
+            if len(bn_assign) >= len(bn):
+                raise ValueError(f"torch checkpoint has too few batch norms at {'/'.join(path)}")
+            bn_assign[mp] = len(bn_assign)
+        return bn[bn_assign[mp]]
+
+    for path, leaf in _walk_ordered(params):
+        mod = path[-2] if len(path) >= 2 else ""
+        if leaf.ndim == 4 and path[-1] == "kernel":
+            if not conv_w:
+                raise ValueError(f"torch checkpoint ran out of conv weights at {'/'.join(path)}")
+            name, w = conv_w.pop(0)
+            wt = np.transpose(w, (2, 3, 1, 0))  # OIHW → HWIO
+            check(name, path, wt, leaf)
+            set_in(params, path, jnp.asarray(wt, leaf.dtype))
+        elif path[-1] == "bias" and mod.startswith("Conv"):
+            if not conv_b:
+                raise ValueError(f"torch checkpoint ran out of conv biases at {'/'.join(path)}")
+            name, b = conv_b.pop(0)
+            check(name, path, b, leaf)
+            set_in(params, path, jnp.asarray(b, leaf.dtype))
+        elif path[-1] in ("scale", "bias") and mod.startswith("BatchNorm"):
+            name, modt = bn_for(path)
+            src = modt["weight"] if path[-1] == "scale" else modt["bias"]
+            check(name, path, src, leaf)
+            set_in(params, path, jnp.asarray(src, leaf.dtype))
+    # running stats walk batch_stats; module order matches the params walk
+    bn_assign.clear()
+    for path, leaf in _walk_ordered(stats):
+        if path[-1] in ("mean", "var"):
+            name, modt = bn_for(path)
+            src = modt["running_mean" if path[-1] == "mean" else "running_var"]
+            check(name, path, src, leaf)
+            set_in(stats, path, jnp.asarray(src, leaf.dtype))
+    if conv_w:
+        raise ValueError(f"{len(conv_w)} torch conv weights left unmapped")
+    out = dict(variables)
+    out["params"] = params
+    if stats:
+        out["batch_stats"] = stats
+    return out
