@@ -863,7 +863,12 @@ def sum_wta(
     groups: int = 1,
     interpret: bool = False,
 ):
-    """4 × (H, W, D) path volumes → (s_t, best, idx, cm, cp, competitor).
+    """Path volumes → (s_t, best, idx, cm, cp, competitor).
+
+    ``vols`` is either the 4-tuple (hf_t, hb_t, vf, vb) straight from the two
+    :func:`aggregate_dual` sweeps — hf_t/hb_t in (W, H, D), vf/vb in
+    (H, W, D) — or the legacy 3-tuple (hsum, vf, vb) with hsum already
+    relayouted to (H, W, D).
 
     ``s_t`` is the summed volume already transposed to (D, H, W) int16 for
     :func:`right_disparity` (None unless ``emit_transposed``); the statistics
@@ -875,13 +880,26 @@ def sum_wta(
     the packed pseudo-volume's row split; ``d_valid`` and ``idx`` are
     group-local.
 
-    Plain XLA, deliberately: the sum + minor-dim reductions + transpose fuse
-    into one pass over the volumes that measured ~1.6× faster than a
-    hand-written Pallas kernel of the same computation (int32 ops, and a
-    single packed key min yields best and argmin together — ties resolve to
-    the smallest disparity, matching :func:`_wta_stats`).
+    Plain XLA, deliberately: hand-written Pallas kernels of the same
+    computation measured ~1.6-4× slower (the relayouts need XLA's tiled
+    transposes). With the 4-tuple and ``emit_transposed`` the transpose-FIRST
+    formulation runs: s_t is built directly from two XLA batch transposes of
+    the raw volumes and the statistics reduce over s_t's outer (plane) axis —
+    no (H, W, D) hsum intermediate ever materializes (measured 4.36 ms vs
+    5.20 ms for the hsum form at 720p·D128; bit-identical outputs). A single
+    packed key min yields best and argmin together — ties resolve to the
+    smallest disparity, matching :func:`_wta_stats`.
     """
     del interpret  # XLA path — flag kept for call-site symmetry
+    if len(vols) == 4:
+        hf_t, hb_t, vf, vb = vols
+        if emit_transposed:
+            return _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid, groups)
+        # stats-only: lane-dim reductions over (H, W, D) win — fall through
+        hsum = jnp.transpose(
+            hf_t.astype(jnp.int16) + hb_t.astype(jnp.int16), (1, 0, 2)
+        )
+        vols = (hsum, vf, vb)
     D = vols[0].shape[-1]
     dg = D // groups
     s = sum(v.astype(jnp.int32) for v in vols)
@@ -924,6 +942,57 @@ def sum_wta(
     s_t = None
     if emit_transposed:
         s_t = jnp.transpose(jnp.minimum(s, 30000), (2, 0, 1)).astype(jnp.int16)
+    return (
+        s_t,
+        best.astype(jnp.float32),
+        idx,
+        cm.astype(jnp.float32),
+        cp.astype(jnp.float32),
+        comp.astype(jnp.float32),
+    )
+
+
+def _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid: int, groups: int):
+    """Transpose-first :func:`sum_wta` core (see its docstring): s_t (D, H, W)
+    int16 is assembled from two XLA batch transposes of the raw dual-sweep
+    volumes, then every statistic reduces along the outer plane axis — one
+    read of s_t instead of a second full-volume pass over an hsum
+    intermediate. Values are bit-identical to the lane-dim formulation (same
+    integer sums, same smallest-d tie resolution)."""
+    D = vf.shape[-1]
+    dg = D // groups
+    st = jnp.transpose(hf_t.astype(jnp.int32) + hb_t.astype(jnp.int32), (2, 1, 0))
+    st = st + jnp.transpose(vf.astype(jnp.int32) + vb.astype(jnp.int32), (2, 0, 1))
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+    dl = p_iota % dg if groups > 1 else p_iota
+    if d_valid < dg:
+        st = jnp.where(dl >= d_valid, _BIGI >> 8, st)
+    s_t = jnp.minimum(st, 30000).astype(jnp.int16)
+    # stats reduce the UNCLAMPED masked sum — bit-identical to the lane-dim
+    # formulation even on pad lanes (the clamp only exists to fit s_t's int16);
+    # XLA fuses the s_t store and these reductions into the same pass over st
+    s = st
+    dp = 1
+    while dp < dg:
+        dp *= 2
+    dli = jax.lax.broadcasted_iota(jnp.int32, (dg,) + st.shape[1:], 0)
+    outs = []
+    for g in range(groups):
+        sg = jax.lax.slice_in_dim(s, g * dg, (g + 1) * dg, axis=0)
+        key = jnp.minimum(sg, (1 << 30) // dp - 1) * dp + dli
+        kmin = jnp.min(key, axis=0)
+        best = kmin // dp
+        idx = kmin % dp
+        cm = jnp.min(jnp.where(dli == idx[None] - 1, sg, _BIGI), axis=0)
+        cp = jnp.min(jnp.where(dli == idx[None] + 1, sg, _BIGI), axis=0)
+        comp = jnp.min(jnp.where(jnp.abs(dli - idx[None]) > 1, sg, _BIGI), axis=0)
+        outs.append((best, idx, cm, cp, comp))
+    if groups == 1:
+        best, idx, cm, cp, comp = outs[0]
+    else:
+        best, idx, cm, cp, comp = (
+            jnp.concatenate(parts, axis=0) for parts in zip(*outs)
+        )
     return (
         s_t,
         best.astype(jnp.float32),
@@ -1036,7 +1105,7 @@ def right_disparity(
 # ---------------------------------------------------------------------------
 
 
-def _shift_gather_kernel(src_ref, off_ref, out_ref, acc_ref, *, bs: int):
+def _shift_gather_kernel(src_ref, off_ref, out_ref, acc_ref, *, bs: int, single: bool):
     # out[y, x] = src[y, x − off[y, x]], via roll-and-select:
     # Σ_s (off == s ∧ x ≥ s)·roll(src, s). A per-pixel lane gather is not
     # expressible on TPU; max_offset rolls of the row block are cheap. The
@@ -1044,21 +1113,29 @@ def _shift_gather_kernel(src_ref, off_ref, out_ref, acc_ref, *, bs: int):
     # pixels into out-of-range offsets. The block's offset base j·bs is
     # applied as ONE dynamic (traced-shift) rotate of src; the unrolled inner
     # rotates are static (a dynamic lane rotate costs ~8× a static one).
+    # ``single`` marks a one-step offset grid (ns == 1): j is statically 0, so
+    # the base rotate and the accumulator carry disappear.
     j = pl.program_id(1)
 
-    @pl.when(j == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    if single:
+        acc = jnp.zeros_like(acc_ref)
+        base = src_ref[:]
+    else:
 
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc = acc_ref[:]
+        base = pltpu.roll(src_ref[:], j * bs, 1)
     off = off_ref[:]
-    base = pltpu.roll(src_ref[:], j * bs, 1)
     x_iota = jax.lax.broadcasted_iota(jnp.int32, off.shape, 1)
-    acc = acc_ref[:]
     for ss in range(bs):  # unrolled: static rotates
         s = j * bs + ss
         rolled = pltpu.roll(base, ss, 1)
         acc = jnp.where((off == s) & (x_iota >= s), rolled, acc)
-    acc_ref[:] = acc
+    if not single:
+        acc_ref[:] = acc
     out_ref[:] = acc
 
 
@@ -1068,23 +1145,27 @@ def shift_gather(
     offsets: jax.Array,
     max_offset: int,
     block_h: int = 16,
-    block_s: int = 64,
+    block_s: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """(H, W) src, (H, W) int32 offsets in [0, max_offset) →
     out[y, x] = src[y, x − offsets[y, x]]; entries whose offset is outside
     [0, max_offset) or reaches left of the image (off > x) come back 0.
     Replaces per-pixel take_along_axis gathers (≈9 ms at 720p) with max_offset
-    lane rotates (≈1 ms)."""
+    lane rotates (≈1 ms). ``block_s`` (rolls per grid step) defaults to the
+    smallest unroll whose grid covers max_offset with ≤128-step blocks — a
+    fixed 64 wasted up to 49% of the rolls (e.g. 128 for max_offset 65)."""
     H, W = src.shape
     Wp = -(-W // 128) * 128
     if Wp != W:
         src = jnp.pad(src, ((0, 0), (0, Wp - W)))
         offsets = jnp.pad(offsets, ((0, 0), (0, Wp - W)), constant_values=-1)
     nh = pl.cdiv(H, block_h)
+    if block_s is None:
+        block_s = -(-max_offset // pl.cdiv(max_offset, 128))
     ns = pl.cdiv(max_offset, block_s)
     out = pl.pallas_call(
-        functools.partial(_shift_gather_kernel, bs=block_s),
+        functools.partial(_shift_gather_kernel, bs=block_s, single=(ns == 1)),
         grid=(nh, ns),
         in_specs=[
             pl.BlockSpec((block_h, Wp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),

@@ -405,13 +405,11 @@ def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
     )
     hf_t, hb_t = dual(cost_t, axis=0)
     vf, vb = dual(cost, axis=0)
-    # one fused add+relayout back to (H, W, D); D stays the contiguous minor
-    # dim, so this is a cheap leading-dims batch transpose
-    hsum = jnp.transpose(
-        hf_t.astype(jnp.int16) + hb_t.astype(jnp.int16), (1, 0, 2)
-    )
+    # sum_wta gets the raw per-direction volumes: with the LR check on it
+    # builds s_t transpose-first (no hsum intermediate); without it the
+    # lane-dim stats formulation runs on an internal hsum relayout
     s_t, best, idx, cm, cp, comp = sgm_pallas.sum_wta(
-        (hsum, vf, vb), d_valid=D, emit_transposed=p.lr_max_diff >= 0,
+        (hf_t, hb_t, vf, vb), d_valid=D, emit_transposed=p.lr_max_diff >= 0,
         interpret=interpret,
     )
     return None, (best, idx, cm, cp, comp), s_t
@@ -493,11 +491,8 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str):
     )
     hf_t, hb_t = dual(cost_t, axis=0)
     vf, vb = dual(cost, axis=0)
-    hsum = jnp.transpose(
-        hf_t.astype(jnp.int16) + hb_t.astype(jnp.int16), (1, 0, 2)
-    )
     s_t, best, idx, cm, cp, comp = sgm_pallas.sum_wta(
-        (hsum, vf, vb), d_valid=D, groups=2,
+        (hf_t, hb_t, vf, vb), d_valid=D, groups=2,
         emit_transposed=p.lr_max_diff >= 0, interpret=interpret,
     )
     disp, valid = _wta(None, p, (best, idx, cm, cp, comp))
