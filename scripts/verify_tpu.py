@@ -1,0 +1,164 @@
+"""On-chip correctness audit: run every Pallas kernel on the REAL TPU and
+compare bit-for-bit against the CPU/XLA reference implementation.
+
+The CPU parity tests (impl="pallas_interpret") validate kernel SEMANTICS, not
+Mosaic codegen — a libtpu/Mosaic change can silently break the compiled
+kernels while every test stays green and bench.py (which only times) keeps
+printing plausible fps. This script is the missing link; run it after any
+toolchain change and before trusting bench numbers.
+
+Usage: python scripts/verify_tpu.py [--full]  (full adds 720p end-to-end)
+Exit code 0 iff everything matches.
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from stereovision_tpu.ops import sgm_pallas
+
+    assert jax.default_backend() in ("tpu", "axon"), jax.default_backend()
+    print("backend:", jax.devices())
+    rng = np.random.default_rng(0)
+    # W deliberately a NON-power-of-two lane multiple: Mosaic's dynamic-roll
+    # codegen is width-dependent (negative shifts miscompile at width 384 but
+    # not 256/512) — power-of-two shapes hide whole bug classes
+    H, W, D = 64, 384, 128
+    failures = []
+
+    def check(name, got, want, exact=True):
+        got = np.asarray(got)
+        want = np.asarray(want)
+        if exact:
+            ok = np.array_equal(got, want)
+        else:
+            ok = np.allclose(got, want, atol=1e-4)
+        n_bad = int((got != want).sum()) if got.shape == want.shape else -1
+        print(f"{name:>24}: {'OK' if ok else f'MISMATCH ({n_bad}/{got.size} px)'}")
+        if not ok:
+            failures.append(name)
+
+    img = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    imgj = jnp.asarray(img)
+
+    # census
+    cw_t = sgm_pallas.census_words(imgj, 5, 5)
+    cw_i = sgm_pallas.census_words(imgj, 5, 5, interpret=True)
+    check("census_words", cw_t, cw_i)
+    cwm_t = sgm_pallas.census_words(imgj[:, ::-1], 5, 5, mirror=True)
+    cwm_i = sgm_pallas.census_words(imgj[:, ::-1], 5, 5, mirror=True, interpret=True)
+    check("census_words mirror", cwm_t, cwm_i)
+
+    # cost volume (both layouts, pack 1)
+    c_t = sgm_pallas.cost_volume_planes(cw_t, cwm_t, W, D, d_valid=100,
+                                        max_cost=24.0, transposed=1)
+    c_i = sgm_pallas.cost_volume_planes(cw_i, cwm_i, W, D, d_valid=100,
+                                        max_cost=24.0, transposed=1, interpret=True)
+    check("cost (H,W,D)", c_t[0], c_i[0])
+    check("cost (W,H,D)", c_t[1], c_i[1])
+
+    # dual aggregation both axes-of-volume orientations
+    cost = jnp.asarray(rng.integers(0, 25, (H, W, D)).astype(np.int8))
+    for gname, groups in (("", 1), (" groups=2", 2)):
+        a_t = sgm_pallas.aggregate_dual(cost, 8.0, 96.0, axis=0,
+                                        out_dtype=jnp.int8, groups=groups)
+        a_i = sgm_pallas.aggregate_dual(cost, 8.0, 96.0, axis=0,
+                                        out_dtype=jnp.int8, groups=groups,
+                                        interpret=True)
+        check(f"agg_dual fwd{gname}", a_t[0], a_i[0])
+        check(f"agg_dual bwd{gname}", a_t[1], a_i[1])
+
+    # sum_wta (pure XLA, but verify TPU-XLA vs CPU semantics through interpret flag)
+    hf = jnp.asarray(rng.integers(0, 120, (W, H, D)).astype(np.int8))
+    hb = jnp.asarray(rng.integers(0, 120, (W, H, D)).astype(np.int8))
+    vf = jnp.asarray(rng.integers(0, 120, (H, W, D)).astype(np.int8))
+    vb = jnp.asarray(rng.integers(0, 120, (H, W, D)).astype(np.int8))
+    got = sgm_pallas.sum_wta((hf, hb, vf, vb), d_valid=100)
+    hf_c, hb_c, vf_c, vb_c = (np.asarray(x) for x in (hf, hb, vf, vb))
+    s_np = (np.transpose(hf_c.astype(np.int32) + hb_c.astype(np.int32), (2, 1, 0))
+            + np.transpose(vf_c.astype(np.int32) + vb_c.astype(np.int32), (2, 0, 1)))
+    s_np = np.where(np.arange(D)[:, None, None] >= 100, 1 << 21, s_np)
+    check("sum_wta s_t", got[0], np.minimum(s_np, 30000).astype(np.int16))
+    check("sum_wta best", got[1], s_np.min(0).astype(np.float32))
+    check("sum_wta idx", got[2], s_np.argmin(0))
+
+    # right disparity
+    s_t = jnp.asarray(rng.integers(0, 400, (D, H, W)).astype(np.int16))
+    r_t = sgm_pallas.right_disparity(s_t, 100, pre_transposed=True)
+    r_i = sgm_pallas.right_disparity(s_t, 100, pre_transposed=True, interpret=True)
+    check("right_disparity", r_t, r_i)
+
+    # shift_gather
+    src = jnp.asarray(rng.uniform(0, 100, (H, W)).astype(np.float32))
+    off = jnp.asarray(rng.integers(0, 65, (H, W)).astype(np.int32))
+    g_t = sgm_pallas.shift_gather(src, off, 65)
+    g_i = sgm_pallas.shift_gather(src, off, 65, interpret=True)
+    check("shift_gather", g_t, g_i)
+
+    # speckle counts
+    dv = jnp.asarray(rng.uniform(-64, 128, (H, W)).astype(np.float32))
+    s_t2 = sgm_pallas.speckle_counts(dv, 15, 32.0, 6)
+    s_i2 = sgm_pallas.speckle_counts(dv, 15, 32.0, 6, interpret=True)
+    check("speckle_counts", s_t2, s_i2)
+
+    # end-to-end small
+    from stereovision_tpu.stereo import SGMParams, compute_disparity
+    import dataclasses as dc
+
+    base = rng.uniform(0, 255, (H, W + 16)).astype(np.float32)
+    k = np.ones((5, 5), np.float32) / 25.0
+    try:
+        import cv2
+
+        base = cv2.GaussianBlur(base, (5, 5), 1.0)
+    except Exception:
+        pass
+    del k
+    lf, rt = jnp.asarray(base[:, :W]), jnp.asarray(base[:, 8 : 8 + W])
+    for mode in ("full", "hier", "hier2"):
+        p = SGMParams(num_disparities=64, mode=mode, coarse_scale=2,
+                      refine_range=32)
+        d_t, v_t = compute_disparity(lf, rt, p)
+        d_c, v_c = compute_disparity(lf, rt, dc.replace(p, impl="pallas_interpret"))
+        check(f"e2e {mode} disp", d_t, d_c, exact=False)
+        check(f"e2e {mode} valid", v_t, v_c)
+
+    if "--full" in sys.argv:
+        # production shape, ground-truth check: constant-shift pair → the
+        # engine must recover the shift densely at 720p/D=320 in every mode
+        Hf, Wf, k = 720, 1280, 11
+        base = rng.uniform(0, 255, (Hf, Wf + 16)).astype(np.float32)
+        try:
+            import cv2
+
+            base = cv2.GaussianBlur(base, (5, 5), 1.2)
+        except Exception:
+            pass
+        lf, rt = jnp.asarray(base[:, :Wf]), jnp.asarray(base[:, k : k + Wf])
+        for mode in ("full", "hier", "hier2"):
+            p = SGMParams(num_disparities=320, mode=mode)
+            d_t, v_t = compute_disparity(lf, rt, p)
+            d_np, v_np = np.asarray(d_t), np.asarray(v_t)
+            inner = np.s_[20:-20, 340:-20]
+            cov = float(v_np[inner].mean())
+            med = (float(np.median(d_np[inner][v_np[inner]]))
+                   if v_np[inner].any() else float("nan"))
+            ok = cov > 0.9 and abs(med - k) < 0.5
+            print(f"{'e2e-720p ' + mode:>24}: "
+                  f"{'OK' if ok else 'FAIL'} (cov {cov:.3f}, median {med:.2f}, true {k})")
+            if not ok:
+                failures.append(f"e2e-720p {mode}")
+
+    print("RESULT:", "PASS" if not failures else f"FAIL {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -172,14 +172,24 @@ def _cost_kernel(
     # −(start(x0) − (bw−1)) puts all needed windows at static offsets
     # (bw−1−xx … +D). Same for cl: one rotate by −x0. Group 1's census is
     # pre-rotated dg lanes further so its window lands on lanes [dg, 2dg).
+    # Roll shifts MUST be normalized non-negative: Mosaic miscompiles negative
+    # dynamic shifts when the lane width is not a power of two (measured on
+    # v5e: roll(x, -s) over width 384 wrong for every s > 0 while
+    # roll(x, (w−s) % w) is exact at all widths; widths 256/512 hide it).
+    # Static negative shifts are rejected at trace time — dynamic ones are NOT.
     x0 = j * bw
     base = w - 1 - x0 + min_d - (bw - 1)
+    wl_w = cl_refs[0].shape[-1]
+    wr_w = crr_refs[0].shape[-1]
     cls = [
-        [pltpu.roll(cl_refs[g][word], -x0, 1) for word in range(nw)]
+        [pltpu.roll(cl_refs[g][word], (-x0) % wl_w, 1) for word in range(nw)]
         for g in range(pack)
     ]
     crs = [
-        [pltpu.roll(crr_refs[g][word], -(base - g * dg), 1) for word in range(nw)]
+        [
+            pltpu.roll(crr_refs[g][word], (-(base - g * dg)) % wr_w, 1)
+            for word in range(nw)
+        ]
         for g in range(pack)
     ]
 
@@ -1038,10 +1048,12 @@ def _rdisp_kernel(aggt_ref, out_ref, best_ref, idx_ref, *, bd: int, d_valid: int
         take = shifted < lbest
         lbest = jnp.where(take, shifted, lbest)
         lidx = jnp.where(take, dd, lidx)
-    # realign v → u (one dynamic rotate), mask lanes that wrapped past Wp
+    # realign v → u (one dynamic rotate), mask lanes that wrapped past Wp;
+    # shift normalized non-negative (negative dynamic rolls miscompile at
+    # non-power-of-two widths — see _cost_kernel)
     sh = j * bd
-    lbest = pltpu.roll(lbest, -sh, 1)
-    lidx = pltpu.roll(lidx, -sh, 1)
+    lbest = pltpu.roll(lbest, (-sh) % wp, 1)
+    lidx = pltpu.roll(lidx, (-sh) % wp, 1)
     lbest = jnp.where(u_iota < wp - sh, lbest, _BIG)
     take = lbest < best_ref[:]
     best_ref[:] = jnp.where(take, lbest, best_ref[:])
