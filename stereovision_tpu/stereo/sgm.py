@@ -62,7 +62,11 @@ class SGMParams:
     # "full" searches all num_disparities at full resolution; "hier" runs a
     # coarse 1/coarse_scale pass over the whole range, warps the right image by
     # the upsampled coarse disparity, and refines a refine_range window at full
-    # resolution — ~(num_disparities/refine_range)× less full-res work
+    # resolution — ~(num_disparities/refine_range)× less full-res work.
+    # "hier2" adds a second refine pass against a high-side (max-envelope)
+    # window and fills pixels the low window missed — recovers the ≤R-wide
+    # strips at depth discontinuities larger than refine_range that plain
+    # "hier" invalidates, at ~1.6× hier cost (still ≫ full-search speed)
     mode: str = "full"
     coarse_scale: int = 4
     refine_range: int = 64
@@ -515,7 +519,7 @@ def compute_disparity(left: jax.Array, right: jax.Array, params: SGMParams = SGM
     Invalid pixels carry disparity ``min_disparity − 1`` (cv2 SGBM convention,
     reference relies on it via the ``disp > MIN_DISP`` mask, depth_map.py:933).
     """
-    if params.mode == "hier":
+    if params.mode in ("hier", "hier2"):
         if params.num_disparities <= params.refine_range:
             # nothing to gain (and the window-clip bounds would invert):
             # a full search over ≤ refine_range disparities IS the refine pass
@@ -569,8 +573,34 @@ def _compute_disparity_hier(left, right, p: SGMParams):
     lc = im.resize(left, (H // s, W // s))
     rc = im.resize(right, (H // s, W // s))
     disp_c, valid_c = compute_disparity(lc, rc, coarse_p)
-    # fill invalid coarse pixels with the valid mean so the warp stays sane
-    fill = jnp.sum(jnp.where(valid_c, disp_c, 0.0)) / (jnp.sum(valid_c) + 1e-6)
+    # fill invalid coarse pixels occlusion-style: nearest valid value along the
+    # row from each side, keep the SMALLER (background) one — cv2's
+    # filterSpeckles/occlusion convention. Mean fills (global or windowed)
+    # smear a mid-range value into holes next to large jumps, which drags the
+    # refine window to cover neither surface (measured: d≈150 fills inside a
+    # d=230 step at 720p → 20-25% confidently-wrong matches in that segment).
+    Wc = disp_c.shape[1]
+    ci = jnp.arange(Wc, dtype=jnp.int32)[None, :]
+    li = jax.lax.cummax(jnp.where(valid_c, ci, -1), axis=1)
+    ri_rev = jax.lax.cummax(jnp.where(valid_c[:, ::-1], ci, -1), axis=1)
+    ri = (Wc - 1) - ri_rev[:, ::-1]  # nearest valid index to the right
+    has_l, has_r = li >= 0, ri_rev[:, ::-1] >= 0
+    dl = jnp.take_along_axis(disp_c, jnp.clip(li, 0, Wc - 1), axis=1)
+    dr = jnp.take_along_axis(disp_c, jnp.clip(ri, 0, Wc - 1), axis=1)
+    fill_g = jnp.sum(jnp.where(valid_c, disp_c, 0.0)) / (
+        jnp.sum(valid_c.astype(jnp.float32)) + 1e-6
+    )
+    # across a real discontinuity (sides differ by > R/(2s)) the background
+    # (min) side wins; otherwise average — a hard min would staircase slanted
+    # surfaces and trip the hier2 ramp mask in both windows at once
+    gap_thresh = p.refine_range / (2.0 * s)
+    fill_lr = jnp.where(
+        jnp.abs(dl - dr) > gap_thresh, jnp.minimum(dl, dr), 0.5 * (dl + dr)
+    )
+    fill = jnp.where(
+        has_l & has_r, fill_lr,
+        jnp.where(has_l, dl, jnp.where(has_r, dr, fill_g)),
+    )
     disp_c = jnp.where(valid_c, disp_c, fill)
     disp_c = im.median_blur(disp_c, 5)
     d_up = im.resize(disp_c, (H, W)) * s
@@ -593,9 +623,89 @@ def _compute_disparity_hier(left, right, p: SGMParams):
         right_sh = jnp.concatenate([jnp.repeat(env[:, :1], k, axis=1), env[:, :-k]], axis=1)
         env = jnp.minimum(env, jnp.minimum(left_sh, right_sh))
         k *= 2
+    two_pass = p.mode == "hier2"
+    if two_pass:
+        # vertical erosion over d_up's vertical smear (~4·s rows): rows near a
+        # horizontal object edge inherit a contaminated-high d_up from the
+        # object, lifting the window bottom above the far surface — window B
+        # (vertically dilated) re-covers the near surface on those rows.
+        # Plain hier keeps the raw envelope: with no second window, the
+        # erosion would trade near-surface coverage for far-surface coverage.
+        env = _erode_rows(env, 4 * s, jnp.minimum)
     shift = jnp.clip(
         jnp.round(env - margin), p.min_disparity, p.min_disparity + p.num_disparities - R
     )
+    disp, valid = _refine_with_shift(left, right, shift, p, mask_seams=two_pass)
+
+    if two_pass:
+        # Second, high-side window: a disparity jump LARGER than R puts the
+        # near surface's strip (≤R wide, left of the jump) above window A —
+        # LR-invalidated there. Window B tops out at the local max-envelope:
+        # dilation of d_up, so shift_B(x−i) + R − 1 ≥ d(x) + margin for all
+        # i < R wherever d_up locally reached the near surface. Radius 2R−1
+        # (not R−1): the coarse pass erodes the near surface's edge by up to
+        # ~R columns (its own LR kill + fill + blur at the occlusion), so the
+        # high window must extend past the match columns of pixels whose d_up
+        # ramp starts that far in — measured on the boxes quality scene, the
+        # R−1 radius left the strip's matches under the LOW window (B coverage
+        # 0.4 → 0.97 with 2R−1).
+        env_hi = d_up
+        k = 1
+        while k < 2 * R:
+            l_sh = jnp.concatenate(
+                [env_hi[:, k:], jnp.repeat(env_hi[:, -1:], k, axis=1)], axis=1
+            )
+            r_sh = jnp.concatenate(
+                [jnp.repeat(env_hi[:, :1], k, axis=1), env_hi[:, :-k]], axis=1
+            )
+            env_hi = jnp.maximum(env_hi, jnp.maximum(l_sh, r_sh))
+            k *= 2
+        # vertical dilation (mirror of window A's vertical erosion): rows just
+        # past a horizontal object edge must still reach the object's
+        # disparity while d_up's vertical ramp is mid-transition
+        env_hi = _erode_rows(env_hi, 4 * s, jnp.maximum)
+        shift_b = jnp.clip(
+            jnp.round(env_hi + margin) - (R - 1),
+            p.min_disparity, p.min_disparity + p.num_disparities - R,
+        )
+        disp_b, valid_b = _refine_with_shift(
+            left, right, shift_b, p, mask_seams=True
+        )
+        take_b = (~valid) & valid_b
+        disp = jnp.where(take_b, disp_b, disp)
+        valid = valid | valid_b
+    return disp, valid
+
+
+def _erode_rows(x, radius: int, op):
+    """Morphological erosion (op=minimum) / dilation (op=maximum) along rows
+    (axis 0) by doubling shifts; replicate borders."""
+    k = 1
+    while k < radius:
+        dn = jnp.concatenate([x[k:], jnp.repeat(x[-1:], k, axis=0)], axis=0)
+        up = jnp.concatenate([jnp.repeat(x[:1], k, axis=0), x[:-k]], axis=0)
+        x = op(x, op(dn, up))
+        k *= 2
+    return x
+
+
+def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = False):
+    """One hier refine pass: warp the right image by the integer ``shift``
+    field, run a refine_range-window full search, and undo the shift.
+    Returns (disp float32 px with invalid = min_disparity − 1, valid).
+
+    ``mask_seams``: wherever the shift field ramps, the warped image
+    duplicates or tears content (two warped columns sampling the same right
+    column) — matches there are coin-flip double matches that can survive the
+    LR and uniqueness tests (measured ~11% wrong-valid in box cores on the
+    boxes quality scene). Invalidate pixels whose matched column sits in a
+    ramp. hier2 turns this on for both passes: window A's ramps (erosion
+    transitions) sit exactly where window B's max-envelope plateaus, and vice
+    versa, so the merge re-covers everything with clean flat-window matches."""
+    import dataclasses as _dc
+
+    R = p.refine_range
+    W = left.shape[1]
     # integer shift → bounded horizontal gather: the shift_gather kernel on
     # TPU (max_offset lane rotates), take_along_axis on CPU
     xs = jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -631,6 +741,28 @@ def _compute_disparity_hier(left, right, p: SGMParams):
         shift_at = sgm_pallas.shift_gather(
             shift, drr, R, interpret=(impl == "pallas_interpret")
         )
+    if mask_seams:
+        # total shift variation over the census support (±(k//2 + 1) columns,
+        # +1 for subpixel); ≥3 marks a ramp — a slanted surface accumulates
+        # only ~slope·window ≪ 3 between the rounding steps
+        ds = jnp.abs(shift[:, 1:] - shift[:, :-1])
+        ds = jnp.pad(ds, ((0, 0), (1, 0)))
+        r_c = p.census_ksize // 2 + 2
+        # horizontal-only window sum (the warp is per-row; a 2-D box sum would
+        # accumulate 2r_c+1 rows of a slant's rounding steps past the gate)
+        dsp = jnp.pad(ds, ((0, 0), (r_c, r_c)), mode="edge")
+        var = sum(
+            jax.lax.slice_in_dim(dsp, i, i + ds.shape[1], axis=1)
+            for i in range(2 * r_c + 1)
+        )
+        ramp = (var >= 3.0).astype(jnp.float32)
+        if impl == "xla":
+            ramp_at = jnp.take_along_axis(ramp, xs - drr, axis=1)
+        else:
+            ramp_at = sgm_pallas.shift_gather(
+                ramp, drr, R, interpret=(impl == "pallas_interpret")
+            )
+        valid = valid & (ramp_at < 0.5)
     disp = jnp.where(valid, disp_r + shift_at, float(p.min_disparity) - 1.0)
     return disp, valid
 

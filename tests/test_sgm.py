@@ -233,6 +233,57 @@ class TestShadedScene:
             assert abs(np.median(core[cv_]) - dd) < 1.0, (dd, np.median(core[cv_]))
 
 
+class TestHier2:
+    @staticmethod
+    def _big_jump_scene():
+        """Near box whose disparity jump (44) EXCEEDS the refine window (32):
+        plain hier's single low window cannot reach the box; hier2's
+        high-side window must recover it."""
+        rng = np.random.default_rng(11)
+        H, W, bg_d, box_d = 120, 280, 6, 50
+        base = cv2.GaussianBlur(rng.uniform(0, 255, (H, W + 64)).astype(np.float32), (5, 5), 1.0)
+        left = base[:, :W].copy()
+        right = base[:, bg_d : bg_d + W].copy()
+        obj = cv2.GaussianBlur(rng.uniform(0, 255, (60, 80)).astype(np.float32), (5, 5), 1.0)
+        y0, x0 = 30, 120
+        left[y0 : y0 + 60, x0 : x0 + 80] = obj
+        right[y0 : y0 + 60, x0 - box_d : x0 - box_d + 80] = obj
+        return left, right, bg_d, box_d, (y0, x0)
+
+    def test_recovers_jump_beyond_refine_window(self):
+        left, right, bg_d, box_d, (y0, x0) = self._big_jump_scene()
+        p2 = SGMParams(num_disparities=64, mode="hier2", coarse_scale=2, refine_range=32)
+        d2, v2 = compute_disparity(jnp.asarray(left), jnp.asarray(right), p2)
+        d2, v2 = np.asarray(d2), np.asarray(v2)
+        core = np.s_[y0 + 12 : y0 + 48, x0 + 12 : x0 + 68]
+        assert v2[core].mean() > 0.8, v2[core].mean()
+        assert abs(np.median(d2[core][v2[core]]) - box_d) < 1.0, np.median(d2[core][v2[core]])
+        bg = np.s_[12:-12, 20:100]
+        assert v2[bg].mean() > 0.8, v2[bg].mean()
+        assert abs(np.median(d2[bg][v2[bg]]) - bg_d) < 1.0
+        # plain hier demonstrably cannot: its one window misses the box core
+        p1 = SGMParams(num_disparities=64, mode="hier", coarse_scale=2, refine_range=32)
+        d1, v1 = compute_disparity(jnp.asarray(left), jnp.asarray(right), p1)
+        d1, v1 = np.asarray(d1), np.asarray(v1)
+        ok1 = v1[core] & (np.abs(d1[core] - box_d) < 1.0)
+        ok2 = v2[core] & (np.abs(d2[core] - box_d) < 1.0)
+        assert ok2.mean() > ok1.mean() + 0.3, (ok1.mean(), ok2.mean())
+
+    def test_hier2_interpret_parity(self):
+        import dataclasses
+
+        left, right, *_ = self._big_jump_scene()
+        p_x = SGMParams(
+            num_disparities=64, mode="hier2", coarse_scale=2, refine_range=32,
+            impl="xla",
+        )
+        p_p = dataclasses.replace(p_x, impl="pallas_interpret")
+        dx, vx = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_x)
+        dp, vp = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_p)
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dx), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(vx))
+
+
 class TestHierLargeDisparity:
     def test_constant_disparity_near_window_cap(self):
         """Regression: a constant disparity larger than the refine window used
