@@ -119,7 +119,7 @@ def _tile_body(left, right, p: S.SGMParams, halo: int, axis_name: str):
     # vertical paths: exact cross-tile chains
     s = s + _vertical_chain(cost, p1, p2, axis_name, reverse=False)
     s = s + _vertical_chain(cost, p1, p2, axis_name, reverse=True)
-    disp, valid = S._wta(s, p)
+    disp, valid, _ = S._wta(s, p)
     if p.lr_max_diff >= 0:
         valid = valid & S._left_right_check(s, disp, p)
     # speckle/median act on the disparity field: recompute with halo rows so
@@ -227,7 +227,7 @@ def sharded_disparity_exact_pipelined(left, right, params: S.SGMParams, mesh: Me
         s = s + _vertical_chain_pipelined(cost, p1, p2, "tile", reverse=True)
 
         def post(s_f):
-            disp, valid = S._wta(s_f, p)
+            disp, valid, _ = S._wta(s_f, p)
             if p.lr_max_diff >= 0:
                 valid = valid & S._left_right_check(s_f, disp, p)
             return disp, valid

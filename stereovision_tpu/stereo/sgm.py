@@ -204,7 +204,9 @@ def _wta(agg: jax.Array, p: SGMParams, stats=None):
 
     ``stats`` (best, idx, cm, cp, competitor) comes precomputed from the fused
     Pallas aggregation; without it the statistics are computed here.
-    Returns (disp float32 in px incl. min_disparity, valid bool), both (H, W).
+    Returns (disp float32 px incl. min_disparity, valid bool, best aggregated
+    cost float32) — the cost lets hier2 arbitrate between its two windows
+    where both produce confident but conflicting matches.
     """
     D = p.num_disparities
     impl = _resolve_impl(p.impl)
@@ -254,7 +256,7 @@ def _wta(agg: jax.Array, p: SGMParams, stats=None):
     else:
         disp = best_idx.astype(jnp.float32)
 
-    return disp.astype(jnp.float32) + p.min_disparity, unique_ok
+    return disp.astype(jnp.float32) + p.min_disparity, unique_ok, best
 
 
 def _left_right_check(agg: jax.Array, disp: jax.Array, p: SGMParams,
@@ -431,11 +433,11 @@ def _disparity_core(left, right, params: SGMParams, impl: str):
         agg, stats, agg_t = _cost_aggregate_pallas(
             left, right, params, impl == "pallas_interpret"
         )
-    disp, valid = _wta(agg, params, stats)
+    disp, valid, best = _wta(agg, params, stats)
     if params.lr_max_diff >= 0:
         valid = valid & _left_right_check(agg if agg_t is None else agg_t, disp,
                                           params, pre_transposed=agg_t is not None)
-    return disp, valid
+    return disp, valid, best
 
 
 def _disparity_core_packed(left, right, params: SGMParams, impl: str):
@@ -463,13 +465,14 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str):
             sl = slice(g * Hh, (g + 1) * Hh)
             cost = cost_from_census(cl[sl], cr[sl], params)
             agg = aggregate(cost, params)
-            disp_g, valid_g = _wta(agg, params)
+            disp_g, valid_g, best_g = _wta(agg, params)
             if params.lr_max_diff >= 0:
                 valid_g = valid_g & _left_right_check(agg, disp_g, params)
-            parts.append((disp_g, valid_g))
+            parts.append((disp_g, valid_g, best_g))
         disp = jnp.concatenate([parts[0][0], parts[1][0]], axis=0)
         valid = jnp.concatenate([parts[0][1], parts[1][1]], axis=0)
-        return disp[:H], valid[:H]
+        best = jnp.concatenate([parts[0][2], parts[1][2]], axis=0)
+        return disp[:H], valid[:H], best[:H]
 
     from stereovision_tpu.ops import sgm_pallas
 
@@ -499,7 +502,7 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str):
         (hf_t, hb_t, vf, vb), d_valid=D, groups=2,
         emit_transposed=p.lr_max_diff >= 0, interpret=interpret,
     )
-    disp, valid = _wta(None, p, (best, idx, cm, cp, comp))
+    disp, valid, best_c = _wta(None, p, (best, idx, cm, cp, comp))
     if p.lr_max_diff >= 0:
         r0 = sgm_pallas.right_disparity(
             s_t, D, pre_transposed=True, interpret=interpret
@@ -509,7 +512,7 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str):
         )
         disp_r = jnp.concatenate([r0, r1], axis=0)
         valid = valid & _lr_compare(disp, disp_r, p, impl)
-    return disp[:H], valid[:H]
+    return disp[:H], valid[:H], best_c[:H]
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -526,19 +529,25 @@ def compute_disparity(left: jax.Array, right: jax.Array, params: SGMParams = SGM
             params = dataclasses.replace(params, mode="full")
         else:
             return _compute_disparity_hier(left, right, params)
+    return _compute_full(left, right, params)[:2]
+
+
+def _compute_full(left, right, params: SGMParams):
+    """Full-search pipeline; returns (disp, valid, best aggregated cost) —
+    the cost is used by hier2's cross-window arbitration."""
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
     impl = _resolve_impl(params.impl)
     if params.pack == 2:
         assert params.num_disparities <= 64, "pack=2 needs num_disparities ≤ 64"
-        disp, valid = _disparity_core_packed(left, right, params, impl)
+        disp, valid, best = _disparity_core_packed(left, right, params, impl)
     else:
-        disp, valid = _disparity_core(left, right, params, impl)
+        disp, valid, best = _disparity_core(left, right, params, impl)
     valid = _speckle_suppress(disp, valid, params)
     if params.median_ksize > 1:
         disp = im.median_blur(disp, params.median_ksize)
     disp = jnp.where(valid, disp, float(params.min_disparity) - 1.0)
-    return disp, valid
+    return disp, valid, best
 
 
 def _compute_disparity_hier(left, right, p: SGMParams):
@@ -567,7 +576,12 @@ def _compute_disparity_hier(left, right, p: SGMParams):
     coarse_p = _dc.replace(
         p, mode="full", num_disparities=max(16, dc_n),
         min_disparity=p.min_disparity // s,
-        median_ksize=3, speckle_window_size=0, refine_range=R,
+        # keep the speckle filter ON at coarse res (it is cheap at 1/s²
+        # pixels): scattered garbage matches that leak through the coarse LR
+        # check otherwise become nearest-valid fill sources and poison d_up
+        # across a whole eroded window span
+        median_ksize=3, speckle_window_size=p.speckle_window_size,
+        refine_range=R,
         pack=1,
     )
     lc = im.resize(left, (H // s, W // s))
@@ -590,15 +604,17 @@ def _compute_disparity_hier(left, right, p: SGMParams):
     fill_g = jnp.sum(jnp.where(valid_c, disp_c, 0.0)) / (
         jnp.sum(valid_c.astype(jnp.float32)) + 1e-6
     )
-    # across a real discontinuity (sides differ by > R/(2s)) the background
-    # (min) side wins; otherwise average — a hard min would staircase slanted
-    # surfaces and trip the hier2 ramp mask in both windows at once
-    gap_thresh = p.refine_range / (2.0 * s)
-    fill_lr = jnp.where(
-        jnp.abs(dl - dr) > gap_thresh, jnp.minimum(dl, dr), 0.5 * (dl + dr)
+    # median of (left-fill, right-fill, global mean): robust to any ONE bad
+    # source — a coherent garbage surface leaking through the coarse LR check
+    # on one side (the left out-of-FOV band produces those), or a
+    # mid-range-wrong global mean next to a large jump. A plain min() picked
+    # the garbage side; a plain mean dragged the window to cover neither
+    # surface.
+    med3 = jnp.maximum(
+        jnp.minimum(dl, dr), jnp.minimum(jnp.maximum(dl, dr), fill_g)
     )
     fill = jnp.where(
-        has_l & has_r, fill_lr,
+        has_l & has_r, med3,
         jnp.where(has_l, dl, jnp.where(has_r, dr, fill_g)),
     )
     disp_c = jnp.where(valid_c, disp_c, fill)
@@ -635,7 +651,9 @@ def _compute_disparity_hier(left, right, p: SGMParams):
     shift = jnp.clip(
         jnp.round(env - margin), p.min_disparity, p.min_disparity + p.num_disparities - R
     )
-    disp, valid = _refine_with_shift(left, right, shift, p, mask_seams=two_pass)
+    disp, valid, cost_a = _refine_with_shift(
+        left, right, shift, p, mask_seams=two_pass
+    )
 
     if two_pass:
         # Second, high-side window: a disparity jump LARGER than R puts the
@@ -668,10 +686,16 @@ def _compute_disparity_hier(left, right, p: SGMParams):
             jnp.round(env_hi + margin) - (R - 1),
             p.min_disparity, p.min_disparity + p.num_disparities - R,
         )
-        disp_b, valid_b = _refine_with_shift(
+        disp_b, valid_b, cost_b = _refine_with_shift(
             left, right, shift_b, p, mask_seams=True
         )
-        take_b = (~valid) & valid_b
+        # merge: fill where A is invalid; where BOTH windows are confident but
+        # DISAGREE, the lower aggregated matching cost wins — a window that
+        # does not contain the true match can hallucinate a smooth consistent
+        # surface (the LR diagonal of the same volume agrees with it), but its
+        # data term is noise-level while the true window's is near zero
+        disagree = jnp.abs(disp_b - disp) > 2.0
+        take_b = valid_b & ((~valid) | (disagree & (cost_b < cost_a)))
         disp = jnp.where(take_b, disp_b, disp)
         valid = valid | valid_b
     return disp, valid
@@ -726,7 +750,7 @@ def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = Fals
         p, mode="full", num_disparities=R, min_disparity=0,
         pack=2 if R <= 64 else 1,
     )
-    disp_r, valid = compute_disparity(left, warped_right, refine_p)
+    disp_r, valid, best = _compute_full(left, warped_right, refine_p)
     # cost(x, i) compared left[x] against warped_right[x−i] =
     # right[(x−i) − shift(x−i)], so the recovered disparity is
     # disp(x) = dr(x) + shift(x − dr(x)) — the shift field travels with the
@@ -764,7 +788,7 @@ def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = Fals
             )
         valid = valid & (ramp_at < 0.5)
     disp = jnp.where(valid, disp_r + shift_at, float(p.min_disparity) - 1.0)
-    return disp, valid
+    return disp, valid, best
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

@@ -201,7 +201,7 @@ class TestLanePacked:
         halves = []
         for sl in (slice(0, 24), slice(24, 48)):
             agg = aggregate(cost_from_census(cl[sl], cr[sl], p), p)
-            d_g, v_g = _wta(agg, p)
+            d_g, v_g, _ = _wta(agg, p)
             v_g = v_g & _left_right_check(agg, d_g, p)
             halves.append((d_g, v_g))
         from stereovision_tpu.stereo.sgm import _speckle_suppress
