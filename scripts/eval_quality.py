@@ -142,6 +142,19 @@ def scene_steps(rng, H=720, W=1280):
     return _render_layers(rng, layers, bg_d, H, W)
 
 
+def scene_gain(rng, H=720, W=1280):
+    """The boxes scene with an exposure mismatch between the cameras (right
+    gain 1.25x, offset +12, mild vignette) — the everyday failure mode of
+    unsynchronized webcam auto-exposure (the reference pins EXPOSURE=0.1 at
+    init, depth_map.py:727, but cannot hold the cameras identical). Census is
+    invariant to monotonic local intensity maps; SGBM's BT cost is not."""
+    left, right, gt, gt_valid = scene_boxes(rng, H, W)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    vign = 1.0 - 0.15 * (((xx / W - 0.5) ** 2 + (yy / H - 0.5) ** 2) * 2.0)
+    right = np.clip(right * 1.25 * vign + 12.0, 0, 255).astype(np.float32)
+    return left, right, gt, gt_valid
+
+
 def run_reference(left, right):
     """The reference's exact disparity path (depth_map.py:894-912): SGBM
     recipe, /16, medianBlur 5; validity = disp > MIN_DISP (depth_map.py:933)."""
@@ -177,7 +190,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="360x640, D=128")
     ap.add_argument("--modes", default="hier", help="comma list: hier,full")
-    ap.add_argument("--scenes", default="boxes,slant,steps")
+    ap.add_argument("--scenes", default="boxes,slant,steps,gain")
     ap.add_argument("--seeds", type=int, default=1, help="instances per scene (averaged)")
     args = ap.parse_args()
     global D_SEARCH
@@ -187,7 +200,8 @@ def main():
 
     from stereovision_tpu.stereo.eval import evaluate_disparity
 
-    scenes = {"boxes": scene_boxes, "slant": scene_slant, "steps": scene_steps}
+    scenes = {"boxes": scene_boxes, "slant": scene_slant, "steps": scene_steps,
+              "gain": scene_gain}
     rows = []
     for name in args.scenes.split(","):
         acc = {}
