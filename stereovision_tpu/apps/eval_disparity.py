@@ -65,7 +65,7 @@ def main(argv=None):
     ap.add_argument("--gt-scale", type=float, default=256.0,
                     help="divisor for integer PNG ground truth (KITTI: 256)")
     ap.add_argument("--num-disparities", type=int, default=256)
-    ap.add_argument("--mode", choices=["full", "hier"], default="hier")
+    ap.add_argument("--mode", choices=["full", "hier", "hier2"], default="hier")
     ap.add_argument("--json", action="store_true", help="one JSON line per scene")
     args = ap.parse_args(argv)
 
