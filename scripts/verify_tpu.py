@@ -75,6 +75,25 @@ def main():
         check(f"agg_dual fwd{gname}", a_t[0], a_i[0])
         check(f"agg_dual bwd{gname}", a_t[1], a_i[1])
 
+    # seeded chain mode (cross-device exact SGM): non-multiple S exercises the
+    # asymmetric fwd-end / bwd-front padding; distinct cost_b covers the
+    # pipelined two-frame form; finals must match the interpreter bit-for-bit
+    cost_c = jnp.asarray(rng.integers(0, 25, (H - 7, W, D)).astype(np.int8))
+    cost_c2 = jnp.asarray(rng.integers(0, 25, (H - 7, W, D)).astype(np.int8))
+    bfr = jnp.asarray(rng.uniform(0, 60, (W, D)).astype(np.float32))
+    bfr = bfr - bfr.min(axis=-1, keepdims=True)  # normalized carry form
+    bbr = jnp.asarray(rng.uniform(0, 60, (W, D)).astype(np.float32))
+    bbr = bbr - bbr.min(axis=-1, keepdims=True)
+    for sname, kw in (("", {}), (" cost_b", {"cost_b": cost_c2})):
+        s_tpu = sgm_pallas.aggregate_dual(
+            cost_c, 8.0, 96.0, axis=0, out_dtype=jnp.int8,
+            boundary=(bfr, bbr), return_final=True, **kw)
+        s_int = sgm_pallas.aggregate_dual(
+            cost_c, 8.0, 96.0, axis=0, out_dtype=jnp.int8,
+            boundary=(bfr, bbr), return_final=True, interpret=True, **kw)
+        for part, name in zip(range(4), ("fwd", "bwd", "final_f", "final_b")):
+            check(f"agg_dual seeded{sname} {name}", s_tpu[part], s_int[part])
+
     # sum_wta (pure XLA, but verify TPU-XLA vs CPU semantics through interpret flag)
     hf = jnp.asarray(rng.integers(0, 120, (W, H, D)).astype(np.int8))
     hb = jnp.asarray(rng.integers(0, 120, (W, H, D)).astype(np.int8))

@@ -697,7 +697,8 @@ def _dual_auto_block_x(axis: int, X: int, D: int, block_s: int, out_dtype) -> in
     return block_x
 
 
-def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp, dg=0, raw=False):
+def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp, dg=0, raw=False,
+                     seeded=False, final_it=-1):
     # The scan loop is unrolled (ks is small and static): every buffer access
     # becomes a static slice, which Mosaic compiles to direct tile accesses,
     # and the `first` select folds to a constant for all iterations but 0.
@@ -711,11 +712,25 @@ def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp, dg=0, raw=False):
     # int8 store clamp (pad lanes can reach PAD_COST+P2 > 127) never feeds
     # back into the recurrence — stored pad-lane values only ever reach the
     # sum_wta pass, which masks lanes ≥ d_valid anyway.
+    #
+    # ``seeded``: the scans start from caller-provided carry rows (bf/bb)
+    # instead of a fresh start — the cross-device SGM chain (parallel.
+    # disparity_exact) ships these over ICI. The wrapper pads the forward cost
+    # at the END and the backward cost at the FRONT, so BOTH scans begin on
+    # real rows at (j==0, it==0) and both true final carries occur at
+    # it == final_it of the last grid step, where they are captured into the
+    # ff/fb outputs (before any pad row can touch the carry). A zero boundary
+    # reproduces a fresh start exactly: with a uniform carry,
+    # best − min_prev ≡ 0, so L = c.
     refs = list(refs)
     cf_ref = refs.pop(0)
     cb_ref = refs.pop(0)
+    bf_ref = refs.pop(0) if seeded else None
+    bb_ref = refs.pop(0) if seeded else None
     of_ref = refs.pop(0)
     ob_ref = refs.pop(0)
+    ff_ref = refs.pop(0) if final_it >= 0 else None
+    fb_ref = refs.pop(0) if final_it >= 0 else None
     if axis == 1:
         cbf_ref, cbb_ref, lbf_ref, lbb_ref, lpf_ref, lpb_ref = refs
     else:
@@ -743,16 +758,37 @@ def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp, dg=0, raw=False):
         first = jnp.logical_and(j == 0, it == 0)
         cf = read(cbf_ref if axis == 1 else cf_ref, sf).astype(jnp.float32)
         cb = read(cbb_ref if axis == 1 else cb_ref, sb).astype(jnp.float32)
+        if seeded and it == 0:
+            # scan start: take the carry from the boundary rows on the first
+            # grid step (zeros ≡ fresh start), the scratch carry otherwise
+            pf = jnp.where(j == 0, bf_ref[:], lpf_ref[:])
+            pb = jnp.where(j == 0, bb_ref[:], lpb_ref[:])
+        else:
+            pf, pb = lpf_ref[:], lpb_ref[:]
         if raw:  # unnormalized carry; the group-min reduce overlaps the shifts
-            lf = jnp.where(first, cf, _sgm_step_raw(lpf_ref[:], cf, p1, p2, dg))
-            lb = jnp.where(first, cb, _sgm_step_raw(lpb_ref[:], cb, p1, p2, dg))
+            if seeded:
+                lf = _sgm_step_raw(pf, cf, p1, p2, dg)
+                lb = _sgm_step_raw(pb, cb, p1, p2, dg)
+            else:
+                lf = jnp.where(first, cf, _sgm_step_raw(pf, cf, p1, p2, dg))
+                lb = jnp.where(first, cb, _sgm_step_raw(pb, cb, p1, p2, dg))
             lpf_ref[:] = lf
             lpb_ref[:] = lb
         else:
-            lf = jnp.where(first, cf, _sgm_step_norm(lpf_ref[:], cf, p1, p2, dg))
-            lb = jnp.where(first, cb, _sgm_step_norm(lpb_ref[:], cb, p1, p2, dg))
+            if seeded:
+                lf = _sgm_step_norm(pf, cf, p1, p2, dg)
+                lb = _sgm_step_norm(pb, cb, p1, p2, dg)
+            else:
+                lf = jnp.where(first, cf, _sgm_step_norm(pf, cf, p1, p2, dg))
+                lb = jnp.where(first, cb, _sgm_step_norm(pb, cb, p1, p2, dg))
             lpf_ref[:] = _renorm(lf, dg)
             lpb_ref[:] = _renorm(lb, dg)
+        if final_it == it:
+            # true final carries (normalized form) for the cross-device chain
+            @pl.when(j == pl.num_programs(1) - 1)
+            def _():
+                ff_ref[:] = lpf_ref[:]
+                fb_ref[:] = lpb_ref[:]
         if clamp:
             lf = jnp.minimum(lf, 127.0)
             lb = jnp.minimum(lb, 127.0)
@@ -771,7 +807,7 @@ def _agg_dual_kernel(*refs, ks, p1, p2, axis, clamp, dg=0, raw=False):
     jax.jit,
     static_argnames=(
         "p1", "p2", "axis", "block_s", "block_x", "out_dtype", "groups",
-        "carry", "interpret",
+        "carry", "return_final", "interpret",
     ),
 )
 def aggregate_dual(
@@ -784,6 +820,9 @@ def aggregate_dual(
     out_dtype=jnp.int16,
     groups: int = 1,
     carry: str = "auto",
+    boundary=None,
+    return_final: bool = False,
+    cost_b=None,
     interpret: bool = False,
 ):
     """Both directional path-cost volumes along ``axis`` of cost (H, W, D) in
@@ -798,17 +837,46 @@ def aggregate_dual(
     ``groups`` > 1: the lane dim holds that many independent D/groups-wide
     disparity groups (lane-packed image halves, see
     :func:`cost_volume_planes` ``pack``); the recurrence is isolated per group.
+
+    ``boundary``: optional (bf, bb) pair of (X, D) float32 MIN-NORMALIZED
+    carry rows seeding the two scans (the cross-device SGM chain of
+    parallel.disparity_exact ships these over ICI; zeros reproduce a fresh
+    start exactly). ``return_final`` additionally returns (ff, fb): the
+    normalized carries after each scan's last REAL row — exactly what the
+    next tile's ``boundary`` expects. ``cost_b``: optional separate cost
+    volume for the backward scan (the frame-pipelined chain aggregates a
+    different frame per direction). All three require ``axis == 0``,
+    ``groups == 1``, and the normalized carry.
     """
     H, W, D = cost.shape
     S = cost.shape[axis]
     X = cost.shape[1 - axis]
+    seeded = boundary is not None
+    if seeded or return_final or cost_b is not None:
+        assert axis == 0 and groups == 1, "chain mode: axis 0, no lane packing"
+        assert carry in ("auto", "norm"), "chain mode uses the normalized carry"
+        carry = "norm"
+        assert seeded and return_final, (
+            "chain mode takes a boundary and returns finals together"
+        )
     if block_x is None:
         block_x = _dual_auto_block_x(axis, X, D, block_s, out_dtype)
     pad_s = (-S) % block_s
+    if cost_b is None:
+        cost_b = cost
     if pad_s:
-        pad_cfg = [(0, 0), (0, 0), (0, 0)]
-        pad_cfg[axis] = (0, pad_s)
-        cost = jnp.pad(cost, pad_cfg, constant_values=1.0)
+        if seeded:
+            # forward cost padded at the END, backward at the FRONT: both
+            # scans then start on real rows (where the seed is injected) and
+            # both final carries happen at it == ks−1−pad_s of the last grid
+            # step — before any pad row touches the carry
+            cost = jnp.pad(cost, ((0, pad_s), (0, 0), (0, 0)), constant_values=1.0)
+            cost_b = jnp.pad(cost_b, ((pad_s, 0), (0, 0), (0, 0)), constant_values=1.0)
+        else:
+            pad_cfg = [(0, 0), (0, 0), (0, 0)]
+            pad_cfg[axis] = (0, pad_s)
+            cost = jnp.pad(cost, pad_cfg, constant_values=1.0)
+            cost_b = cost
     ns = (S + pad_s) // block_s
     nx = pl.cdiv(X, block_x)
 
@@ -838,23 +906,45 @@ def aggregate_dual(
         # grouped volumes: the raw-carry step lets the (2-reduction) group
         # min overlap the shift terms instead of serializing the carry chain
         carry = "raw" if groups > 1 else "norm"
-    lf, lb = pl.pallas_call(
+    in_specs = [spec_f, spec_b]
+    out_specs = [spec_f, spec_b]
+    out_shape = [out_sd, out_sd]
+    operands = [cost, cost_b]
+    if seeded:
+        bspec = pl.BlockSpec((block_x, D), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM)
+        in_specs += [bspec, bspec]
+        operands += [boundary[0].astype(jnp.float32),
+                     boundary[1].astype(jnp.float32)]
+    if return_final:
+        fspec = pl.BlockSpec((block_x, D), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM)
+        out_specs += [fspec, fspec]
+        out_shape += [jax.ShapeDtypeStruct((X, D), jnp.float32)] * 2
+    res = pl.pallas_call(
         functools.partial(
             _agg_dual_kernel, ks=block_s, p1=float(p1), p2=float(p2),
             axis=axis, clamp=clamp, dg=(D // groups if groups > 1 else 0),
-            raw=(carry == "raw"),
+            raw=(carry == "raw"), seeded=seeded,
+            final_it=(block_s - 1 - pad_s) if return_final else -1,
         ),
         grid=(nx, ns),
-        in_specs=[spec_f, spec_b],
-        out_specs=(spec_f, spec_b),
-        out_shape=(out_sd, out_sd),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=scratches,
         interpret=interpret,
-    )(cost, cost)
+    )(*operands)
+    lf, lb = res[0], res[1]
     if pad_s:
-        sl = [slice(None)] * 3
-        sl[axis] = slice(0, S)
-        lf, lb = lf[tuple(sl)], lb[tuple(sl)]
+        if seeded:
+            lf, lb = lf[:S], lb[pad_s:]
+        else:
+            sl = [slice(None)] * 3
+            sl[axis] = slice(0, S)
+            lf, lb = lf[tuple(sl)], lb[tuple(sl)]
+    if return_final:
+        return lf, lb, res[2], res[3]
     return lf, lb
 
 

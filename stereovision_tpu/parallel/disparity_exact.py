@@ -27,8 +27,12 @@ Two evaluation strategies:
   instead of B·T sweeps — vertical-path efficiency B/(B+T−1) → 1 for deep
   batches, with the same bit-exact result.
 
-Built from the XLA building blocks so it runs anywhere (the Pallas kernels
-would need a boundary input — roadmap).
+Both strategies run on either engine implementation: ``params.impl="xla"``
+uses the scan building blocks (runs anywhere), ``"pallas"`` runs the
+production TPU kernels — census/cost/horizontal duals are tile-local, and the
+vertical chains use :func:`ops.sgm_pallas.aggregate_dual`'s boundary-carry
+mode (seeded scans + final-carry outputs shipped over ICI). Results are
+bit-identical across impls and to the single-device engine.
 """
 
 from __future__ import annotations
@@ -133,14 +137,92 @@ def _tile_body(left, right, p: S.SGMParams, halo: int, axis_name: str):
     return disp_o, valid_h[halo:-halo]
 
 
+def _cost_planes_pallas(lh, rh, p: S.SGMParams, interpret: bool):
+    """Census + cost kernels on a (haloed) row slab → ((H, W, Dp) cost,
+    (W, H, Dp) transposed twin, n_bits). Mirrors stereo.sgm's fused path
+    (_cost_aggregate_pallas) on a slab instead of the full image."""
+    from stereovision_tpu.ops import sgm_pallas
+
+    cl = sgm_pallas.census_words(
+        lh, p.census_ksize, p.census_wsize, interpret=interpret
+    )
+    crr = sgm_pallas.census_words(
+        rh[:, ::-1], p.census_ksize, p.census_wsize, mirror=True,
+        interpret=interpret,
+    )
+    D = p.num_disparities
+    Dp = D + (-D) % 128
+    n_bits = p.census_ksize * p.census_wsize - 1
+    cost, cost_t = sgm_pallas.cost_volume_planes(
+        cl, crr, lh.shape[-1], Dp, d_valid=D, min_d=p.min_disparity,
+        max_cost=float(n_bits), transposed=1, interpret=interpret,
+    )
+    return cost, cost_t, n_bits
+
+
+def _tile_body_pallas(left, right, p: S.SGMParams, halo: int, axis_name: str,
+                      interpret: bool):
+    """One tile's exact pipeline on the production Pallas kernels: the
+    vertical chains run ntiles seeded :func:`aggregate_dual` sweeps, shipping
+    each sweep's final-carry rows over ICI; the LAST sweep is final for every
+    tile (a tile is final once its predecessor is, i.e. at sweep ≥ its scan
+    position — all positions < ntiles)."""
+    from stereovision_tpu.ops import sgm_pallas
+
+    lh = _halo_exchange(left, halo, axis_name)
+    rh = _halo_exchange(right, halo, axis_name)
+    cost_h, cost_t_h, n_bits = _cost_planes_pallas(lh, rh, p, interpret)
+    cost = cost_h[halo:-halo]          # (Sl, W, Dp) — cost rows are exact
+    cost_t = cost_t_h[:, halo:-halo]   # (W, Sl, Dp)
+    vol_dt = jnp.int8 if (n_bits + p.p2) <= 127 else jnp.int16
+    dual = functools.partial(
+        sgm_pallas.aggregate_dual, p1=p.p1, p2=p.p2, out_dtype=vol_dt,
+        interpret=interpret,
+    )
+    hf_t, hb_t = dual(cost_t, axis=0)  # horizontal paths: row-local, exact
+    ntiles = jax.lax.axis_size(axis_name)
+    W, Dp = cost.shape[1], cost.shape[2]
+    bf = jnp.zeros((W, Dp), jnp.float32)
+    bb = jnp.zeros((W, Dp), jnp.float32)
+    perm_dn = [(i, i + 1) for i in range(ntiles - 1)]
+    perm_up = [(i, i - 1) for i in range(1, ntiles)]
+    for t in range(ntiles):
+        vf, vb, ff, fb = dual(cost, axis=0, boundary=(bf, bb), return_final=True)
+        if t < ntiles - 1:
+            bf = jax.lax.ppermute(ff, axis_name, perm_dn)
+            bb = jax.lax.ppermute(fb, axis_name, perm_up)
+    s_t, best, idx, cm, cp, comp = sgm_pallas.sum_wta(
+        (hf_t, hb_t, vf, vb), d_valid=p.num_disparities,
+        emit_transposed=p.lr_max_diff >= 0, interpret=interpret,
+    )
+    disp, valid, _ = S._wta(None, p, stats=(best, idx, cm, cp, comp))
+    if p.lr_max_diff >= 0:
+        valid = valid & S._left_right_check(s_t, disp, p, pre_transposed=True)
+    disp_h = _halo_exchange(disp, halo, axis_name)
+    valid_h = _halo_exchange(valid, halo, axis_name)
+    valid_h = S._speckle_suppress(disp_h, valid_h, p)
+    if p.median_ksize > 1:
+        disp_h = im.median_blur(disp_h, p.median_ksize)
+    disp_o = jnp.where(valid_h, disp_h, float(p.min_disparity) - 1.0)[halo:-halo]
+    return disp_o, valid_h[halo:-halo]
+
+
 def sharded_disparity_exact(left, right, params: S.SGMParams, mesh: Mesh):
     """(B, H, W) pairs → exact single-device disparity, row-tiled over the
     'tile' mesh axis and batched over 'frame'."""
     halo = max(params.census_wsize // 2, params.census_ksize // 2,
                params.median_ksize // 2, 8)
+    impl = S._resolve_impl(params.impl)
 
     def body(l, r):
-        f = functools.partial(_tile_body, p=params, halo=halo, axis_name="tile")
+        if impl == "xla":
+            f = functools.partial(_tile_body, p=params, halo=halo,
+                                  axis_name="tile")
+        else:
+            f = functools.partial(
+                _tile_body_pallas, p=params, halo=halo, axis_name="tile",
+                interpret=(impl == "pallas_interpret"),
+            )
         return jax.vmap(f)(l, r)
 
     spec = P("frame", "tile", None)
@@ -196,18 +278,134 @@ def _vertical_chain_pipelined(cost, p1, p2, axis_name, reverse=False):
     return vols
 
 
+def _vertical_chain_pipelined_pallas(cost_all, p: S.SGMParams, axis_name: str,
+                                     interpret: bool, vol_dt):
+    """Software-pipelined exact vertical chains of a local frame batch
+    (Bl, Sl, W, Dp) on the seeded dual kernel. BOTH directions pipeline in
+    ONE kernel sweep per step: the forward carry walks frame t − pos while
+    the backward carry walks frame t − (T−1−pos) — the kernel's separate
+    backward-cost input (``cost_b``) makes that a single pass. One
+    (W, Dp) float32 boundary row per direction ships over ICI per step;
+    Bl + T − 1 steps total."""
+    from stereovision_tpu.ops import sgm_pallas
+
+    ntiles = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    Bl, Sl, W, Dp = cost_all.shape
+    pos_f = idx
+    pos_b = ntiles - 1 - idx
+    perm_dn = [(i, i + 1) for i in range(ntiles - 1)]
+    perm_up = [(i, i - 1) for i in range(1, ntiles)]
+    dual = functools.partial(
+        sgm_pallas.aggregate_dual, p1=p.p1, p2=p.p2, out_dtype=vol_dt,
+        interpret=interpret,
+    )
+
+    def step(carry, t):
+        vf_all, vb_all, bf, bb = carry
+        f_f, f_b = t - pos_f, t - pos_b
+        fcf = jnp.clip(f_f, 0, Bl - 1)
+        fcb = jnp.clip(f_b, 0, Bl - 1)
+        cf = jax.lax.dynamic_index_in_dim(cost_all, fcf, 0, keepdims=False)
+        cb = jax.lax.dynamic_index_in_dim(cost_all, fcb, 0, keepdims=False)
+        vf, vb, ff, fb = dual(cf, axis=0, boundary=(bf, bb),
+                              return_final=True, cost_b=cb)
+        # tiles at the scan top get zeros back from ppermute (no source) —
+        # exactly a fresh start for the next frame entering the pipe
+        bf = jax.lax.ppermute(ff, axis_name, perm_dn)
+        bb = jax.lax.ppermute(fb, axis_name, perm_up)
+        old_f = jax.lax.dynamic_index_in_dim(vf_all, fcf, 0, keepdims=False)
+        old_b = jax.lax.dynamic_index_in_dim(vb_all, fcb, 0, keepdims=False)
+        vf_all = jax.lax.dynamic_update_index_in_dim(
+            vf_all, jnp.where((f_f >= 0) & (f_f < Bl), vf, old_f), fcf, 0)
+        vb_all = jax.lax.dynamic_update_index_in_dim(
+            vb_all, jnp.where((f_b >= 0) & (f_b < Bl), vb, old_b), fcb, 0)
+        return (vf_all, vb_all, bf, bb), None
+
+    z = jnp.zeros((W, Dp), jnp.float32)
+    v0 = jnp.zeros(cost_all.shape, vol_dt)
+    (vf_all, vb_all, _, _), _ = jax.lax.scan(
+        step, (v0, v0, z, z), jnp.arange(Bl + ntiles - 1)
+    )
+    return vf_all, vb_all
+
+
+def _pipelined_body_pallas(l, r, p: S.SGMParams, halo: int, interpret: bool):
+    """Local-shard pipelined body on the production kernels: frame-local
+    census/cost/horizontal duals (vmapped), pipelined vertical chains, then
+    frame-local WTA/LR/speckle/median."""
+    from stereovision_tpu.ops import sgm_pallas
+
+    def local(lf, rf):
+        lh = _halo_exchange(lf, halo, "tile")
+        rh = _halo_exchange(rf, halo, "tile")
+        cost_h, cost_t_h, n_bits = _cost_planes_pallas(lh, rh, p, interpret)
+        return cost_h[halo:-halo], cost_t_h[:, halo:-halo], n_bits
+
+    cost, cost_t, _ = jax.vmap(local)(l, r)
+    n_bits = p.census_ksize * p.census_wsize - 1
+    vol_dt = jnp.int8 if (n_bits + p.p2) <= 127 else jnp.int16
+    dual = functools.partial(
+        sgm_pallas.aggregate_dual, p1=p.p1, p2=p.p2, out_dtype=vol_dt,
+        interpret=interpret,
+    )
+    hf_t, hb_t = jax.vmap(lambda ct: dual(ct, axis=0))(cost_t)
+    vf, vb = _vertical_chain_pipelined_pallas(cost, p, "tile", interpret, vol_dt)
+
+    def post(args):
+        hf_f, hb_f, vf_f, vb_f = args
+        s_t, best, idx, cm, cp, comp = sgm_pallas.sum_wta(
+            (hf_f, hb_f, vf_f, vb_f), d_valid=p.num_disparities,
+            emit_transposed=p.lr_max_diff >= 0, interpret=interpret,
+        )
+        disp, valid, _ = S._wta(None, p, stats=(best, idx, cm, cp, comp))
+        if p.lr_max_diff >= 0:
+            valid = valid & S._left_right_check(s_t, disp, p, pre_transposed=True)
+        return disp, valid
+
+    disp, valid = jax.vmap(post)((hf_t, hb_t, vf, vb))
+
+    def finish(disp_f, valid_f):
+        disp_h = _halo_exchange(disp_f, halo, "tile")
+        valid_h = _halo_exchange(valid_f, halo, "tile")
+        valid_h = S._speckle_suppress(disp_h, valid_h, p)
+        if p.median_ksize > 1:
+            disp_h = im.median_blur(disp_h, p.median_ksize)
+        disp_o = jnp.where(
+            valid_h, disp_h, float(p.min_disparity) - 1.0
+        )[halo:-halo]
+        return disp_o, valid_h[halo:-halo]
+
+    return jax.vmap(finish)(disp, valid)
+
+
 def sharded_disparity_exact_pipelined(left, right, params: S.SGMParams, mesh: Mesh):
     """(B, H, W) pairs → bit-exact single-device disparity, row-tiled over
     'tile' and batched over 'frame', with the cross-tile vertical chains
     software-pipelined over each shard's frame batch (see module docstring).
 
-    Reference implementation in XLA building blocks: the per-shard cost
-    volumes for the whole local batch are materialized up front ((Bl, Sl, X,
-    D) — sized for validation batches; a production variant would stream
-    cost slabs through the pipeline instead).
+    ``params.impl`` picks the engine: "xla" scan building blocks (runs
+    anywhere), "pallas" the production TPU kernels (seeded dual-direction
+    sweeps — both directions pipeline in one kernel pass per step). The
+    per-shard cost volumes for the whole local batch are materialized up
+    front ((Bl, Sl, X, D) — int8 on the kernel path; a production variant
+    would stream cost slabs through the pipeline instead).
     """
     p = params
     halo = max(p.census_wsize // 2, p.census_ksize // 2, p.median_ksize // 2, 8)
+    impl = S._resolve_impl(p.impl)
+    if impl != "xla":
+        def body(l, r):
+            return _pipelined_body_pallas(
+                l, r, p, halo, interpret=(impl == "pallas_interpret")
+            )
+
+        spec = P("frame", "tile", None)
+        fn = jax.jit(shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                               out_specs=(spec, spec), check_vma=False))
+        left = jax.device_put(jnp.asarray(left), NamedSharding(mesh, spec))
+        right = jax.device_put(jnp.asarray(right), NamedSharding(mesh, spec))
+        return fn(left, right)
 
     def body(l, r):
         # frame-local, exact per tile: census halo + cost + horizontal paths

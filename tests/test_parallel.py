@@ -98,6 +98,57 @@ class TestExactTileParallel:
         np.testing.assert_allclose(np.asarray(disp[0]), np.asarray(d_ref), atol=0)
 
 
+class TestSeededDualKernel:
+    def test_chain_reproduces_full_scan(self):
+        """aggregate_dual's boundary-carry mode: splitting the scan into two
+        seeded calls (boundary = predecessor's final carry) must reproduce the
+        unseeded full-array scan bit-for-bit, including with a non-multiple
+        row count (asymmetric fwd/bwd padding) and a zero boundary ≡ fresh."""
+        from stereovision_tpu.ops.sgm_pallas import aggregate_dual
+
+        rng = np.random.default_rng(3)
+        S, X, D = 25, 96, 128
+        cost = jnp.asarray(rng.integers(0, 40, (S, X, D)).astype(np.float32))
+        lf_ref, lb_ref = aggregate_dual(cost, 8.0, 32.0, axis=0,
+                                        out_dtype=jnp.int16, interpret=True)
+        z = jnp.zeros((X, D), jnp.float32)
+        lf, lb, ff, fb = aggregate_dual(
+            cost, 8.0, 32.0, axis=0, out_dtype=jnp.int16,
+            boundary=(z, z), return_final=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(lf), np.asarray(lf_ref))
+        np.testing.assert_array_equal(np.asarray(lb), np.asarray(lb_ref))
+        s0 = 10
+        _, _, ff0, _ = aggregate_dual(
+            cost[:s0], 8.0, 32.0, axis=0, out_dtype=jnp.int16,
+            boundary=(z, z), return_final=True, interpret=True)
+        lf1, _, _, fb1 = aggregate_dual(
+            cost[s0:], 8.0, 32.0, axis=0, out_dtype=jnp.int16,
+            boundary=(ff0, z), return_final=True, interpret=True)
+        lf0, lb0, _, _ = aggregate_dual(
+            cost[:s0], 8.0, 32.0, axis=0, out_dtype=jnp.int16,
+            boundary=(z, fb1), return_final=True, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(jnp.concatenate([lf0, lf1])), np.asarray(lf_ref))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.concatenate([lb0, lb_ref[s0:]])), np.asarray(lb_ref))
+
+
+class TestExactPallasTileParallel:
+    def test_sweep_pallas_kernels_bit_exact(self):
+        """The ntiles-sweep exact chain on the production Pallas kernels must
+        match the single-device Pallas engine bit-for-bit."""
+        from stereovision_tpu.parallel.disparity_exact import sharded_disparity_exact
+
+        left, right = pair_batch(b=2, h=96, w=96, shift=5)
+        p = SGMParams(num_disparities=16, impl="pallas_interpret")
+        mesh = make_mesh(frame=2, tile=4)
+        disp, valid = sharded_disparity_exact(left, right, p, mesh)
+        for b in range(2):
+            d_ref, v_ref = compute_disparity(jnp.asarray(left[b]), jnp.asarray(right[b]), p)
+            np.testing.assert_allclose(np.asarray(disp[b]), np.asarray(d_ref), atol=0)
+            np.testing.assert_array_equal(np.asarray(valid[b]), np.asarray(v_ref))
+
+
 class TestPipelinedExact:
     def test_pipelined_bit_exact_vs_single_device(self):
         """The software-pipelined vertical chain (one boundary ppermute per
@@ -112,6 +163,23 @@ class TestPipelinedExact:
         mesh = make_mesh(frame=2, tile=4)
         disp, valid = sharded_disparity_exact_pipelined(left, right, p, mesh)
         for b in range(6):
+            d_ref, v_ref = compute_disparity(jnp.asarray(left[b]), jnp.asarray(right[b]), p)
+            np.testing.assert_allclose(np.asarray(disp[b]), np.asarray(d_ref), atol=0)
+            np.testing.assert_array_equal(np.asarray(valid[b]), np.asarray(v_ref))
+
+    def test_pipelined_pallas_kernels_bit_exact(self):
+        """The pipelined chain on the production Pallas kernels (seeded
+        dual-direction sweeps, separate backward-cost frame) must match the
+        single-device Pallas engine bit-for-bit."""
+        from stereovision_tpu.parallel.disparity_exact import (
+            sharded_disparity_exact_pipelined,
+        )
+
+        left, right = pair_batch(b=4, h=96, w=96, shift=5)
+        p = SGMParams(num_disparities=16, impl="pallas_interpret")
+        mesh = make_mesh(frame=2, tile=4)
+        disp, valid = sharded_disparity_exact_pipelined(left, right, p, mesh)
+        for b in range(4):
             d_ref, v_ref = compute_disparity(jnp.asarray(left[b]), jnp.asarray(right[b]), p)
             np.testing.assert_allclose(np.asarray(disp[b]), np.asarray(d_ref), atol=0)
             np.testing.assert_array_equal(np.asarray(valid[b]), np.asarray(v_ref))
