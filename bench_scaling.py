@@ -31,7 +31,14 @@ def main():
     ap.add_argument("--num-disparities", type=int, default=64)
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # the image's sitecustomize force-registers the TPU tunnel and stomps
+        # the env var; honor the documented usage by pinning in code
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from stereovision_tpu.parallel import make_mesh, sharded_disparity
@@ -98,6 +105,30 @@ def main():
         for _ in range(3):
             run_ba()
         results["ba"][n] = round((time.perf_counter() - t0) / 3 * 1000, 1)
+
+    # exact row-tiled disparity (bit-identical to single-device): the frame-
+    # pipelined cross-tile vertical chain, tile-parallel over all devices —
+    # the single-frame-latency axis, complementing the throughput axis above
+    from stereovision_tpu.parallel.disparity_exact import (
+        sharded_disparity_exact_pipelined,
+    )
+
+    results["disparity_exact_tiled"] = {}
+    for n in [s for s in sizes if H % s == 0]:
+        mesh = make_mesh(frame=1, tile=n, devices=jax.devices()[:n])
+
+        def run_exact():
+            d, v = sharded_disparity_exact_pipelined(
+                jnp.asarray(left), jnp.asarray(right), params, mesh)
+            jax.block_until_ready(d)
+            return float(jnp.sum(d))
+
+        run_exact()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            run_exact()
+        dt = (time.perf_counter() - t0) / 3
+        results["disparity_exact_tiled"][n] = round(B / dt, 2)
 
     base_fps = results["disparity"][sizes[0]] / sizes[0]
     results["disparity_efficiency"] = {
