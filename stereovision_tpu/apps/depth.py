@@ -30,6 +30,8 @@ def main(argv=None):
     ap.add_argument("--max-depth", type=float, default=4.0)
     ap.add_argument("--cmap", default="turbo", choices=["turbo", "jet"])
     ap.add_argument("--save-npz", action="store_true")
+    ap.add_argument("--save-ply", action="store_true",
+                    help="metric point cloud via the calibration Q matrix")
     ap.add_argument("--limit", type=int, default=0, help="process only the first N pairs")
     args = ap.parse_args(argv)
 
@@ -81,6 +83,16 @@ def main(argv=None):
         if args.save_npz:
             np.savez(out_dir / f"depth_{i:04d}.npz", disparity=np.asarray(disp),
                      depth=np.asarray(depth), valid=np.asarray(valid))
+        if args.save_ply:
+            from stereovision_tpu.io.pointcloud import write_ply
+
+            # Q is built from the cm-unit calibration (T in cm) → points in
+            # cm; export meters (units converted exactly once, like depth)
+            pts = geom.reproject_image_to_3d(disp, jnp.asarray(cal["Q"])) / 100.0
+            n = write_ply(out_dir / f"depth_{i:04d}.ply", np.asarray(pts),
+                          colors=np.asarray(jnp.clip(lr, 0, 255)),
+                          valid=np.asarray(valid))
+            print(f"  point cloud: {n} vertices")
         print(f"frame {i}: {dt*1000:.1f} ms, valid {float(jnp.mean(valid)):.0%}")
     if stats:
         print(json.dumps({"frames": len(stats), "mean_ms": 1000 * float(np.mean(stats[1:] or stats))}))
