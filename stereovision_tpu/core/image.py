@@ -189,20 +189,38 @@ def _batcher_pairs(n: int) -> tuple:
     return tuple((a, b) for a, b in pairs if a < n and b < n), m
 
 
+@functools.lru_cache(maxsize=None)
+def _median_pairs(n: int) -> tuple:
+    """Batcher pairs pruned to the cone of influence of the median output.
+
+    Walking the network backward from wire n//2, a compare-exchange whose two
+    wires are both unreachable from the median output can never change it —
+    dropping them keeps the selected value bit-identical while cutting ~40% of
+    the min/max chain (189 → 113 pairs for n=25)."""
+    pairs, _ = _batcher_pairs(n)
+    needed = {n // 2}
+    kept = []
+    for a, b in reversed(pairs):
+        if a in needed or b in needed:
+            kept.append((a, b))
+            needed.add(a)
+            needed.add(b)
+    return tuple(reversed(kept))
+
+
 def median_blur(img: jax.Array, ksize: int = 5) -> jax.Array:
     """Median filter on (..., H, W) — replaces cv2.medianBlur (depth_map.py:912).
 
     Implemented as a compile-time Batcher sorting network over the k² shifted
-    views (pure min/max chains → one fused VPU kernel; ~240 compare-exchanges
-    for k=5). ``jnp.sort`` over a tiny trailing axis is orders of magnitude
-    slower on TPU.
+    views, pruned to the comparators that can influence the median wire (pure
+    min/max chains → one fused VPU kernel; 113 compare-exchanges for k=5).
+    ``jnp.sort`` over a tiny trailing axis is orders of magnitude slower on
+    TPU.
     """
     k2 = ksize * ksize
     win = _window_stack(img, ksize)
     vals = [win[..., i] for i in range(k2)]
-    # Pairs touching padded (+inf) positions are no-ops and already pruned.
-    pairs, _ = _batcher_pairs(k2)
-    for a, b in pairs:
+    for a, b in _median_pairs(k2):
         lo = jnp.minimum(vals[a], vals[b])
         hi = jnp.maximum(vals[a], vals[b])
         vals[a], vals[b] = lo, hi

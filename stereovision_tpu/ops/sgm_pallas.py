@@ -53,16 +53,21 @@ def _census_kernel(a_ref, b_ref, out_ref, sbuf_ref, *, bh, pad_y, pad_x, ksize, 
     def left_roll(x, s):  # x[i] ← x[i + s]; pltpu.roll wants non-negative
         return pltpu.roll(x, (wp - s) % wp, 1)
 
-    center = left_roll(jax.lax.slice_in_dim(strip, pad_y, pad_y + bh, axis=0), pad_x)
+    # One lane roll per dx on the FULL strip (ksize rolls of 2·bh rows) instead
+    # of one per (dy, dx) neighbor (ksize·wsize rolls of bh rows) — the rolls
+    # dominate the kernel (cross-register lane shuffles); the dy offsets are
+    # then free sublane slices of the rolled strips. Bit-identical output.
+    rolled = [
+        left_roll(strip, (2 * pad_x - dx) if mirror else dx) for dx in range(ksize)
+    ]
+    center = jax.lax.slice_in_dim(rolled[ksize // 2], pad_y, pad_y + bh, axis=0)
     words = [jnp.zeros(center.shape, jnp.int32) for _ in range(nw)]
     bit = 0
     for dy in range(wsize):
-        row = jax.lax.slice_in_dim(strip, dy, dy + bh, axis=0)
         for dx in range(ksize):
             if dy == wsize // 2 and dx == ksize // 2:
                 continue
-            off = (2 * pad_x - dx) if mirror else dx
-            v = left_roll(row, off)
+            v = jax.lax.slice_in_dim(rolled[dx], dy, dy + bh, axis=0)
             w = bit // 32
             words[w] = words[w] | ((v < center).astype(jnp.int32) << (bit % 32))
             bit += 1
@@ -163,7 +168,6 @@ def _cost_kernel(
     dg = d // pack
     d_iota = jax.lax.broadcasted_iota(jnp.int32, (bh, d), 1)
     dl = d_iota % dg if pack > 1 else d_iota
-    in0 = d_iota < dg
 
     # Hoist the dynamic rotates out of the column loop: one rotate per block
     # aligns the whole strip, after which every column is a *static* slice.
@@ -198,11 +202,14 @@ def _cost_kernel(
         for word in range(nw):
             clv = jax.lax.slice_in_dim(cls[0][word], xx, xx + 1, axis=1)
             crv = jax.lax.slice_in_dim(crs[0][word], bw - 1 - xx, bw - 1 - xx + d, axis=1)
-            if pack > 1:
-                clv1 = jax.lax.slice_in_dim(cls[1][word], xx, xx + 1, axis=1)
-                crv1 = jax.lax.slice_in_dim(crs[1][word], bw - 1 - xx, bw - 1 - xx + d, axis=1)
-                clv = jnp.where(in0, clv, clv1)
-                crv = jnp.where(in0, crv, crv1)
+            for g in range(1, pack):  # cascade: group g owns lanes ≥ g·dg
+                clv_g = jax.lax.slice_in_dim(cls[g][word], xx, xx + 1, axis=1)
+                crv_g = jax.lax.slice_in_dim(
+                    crs[g][word], bw - 1 - xx, bw - 1 - xx + d, axis=1
+                )
+                sel = d_iota >= g * dg
+                clv = jnp.where(sel, clv_g, clv)
+                crv = jnp.where(sel, crv_g, crv)
             cost = cost + jax.lax.population_count(clv ^ crv).astype(jnp.float32)
         # mask disparities whose right-image column leaves the image:
         # x - min_d - d < 0 (left edge) or > W-1 (right edge, min_d < 0)
@@ -290,18 +297,18 @@ def cost_volume_planes(
     per-column slab store lands at an outer-dim index); 1 → returns the tuple
     (both layouts) from one sweep.
 
-    ``pack=2``: lane-packed volume — H must be even with H/2 a ``block_h``
-    multiple; the output is a (H/2, W, d) pseudo-volume whose lanes [0, d/2)
-    hold rows [0, H/2)'s costs and lanes [d/2, d) rows [H/2, H)'s.
-    ``d_valid`` is then per group (≤ d/pack).
+    ``pack`` ∈ {2, 4}: lane-packed volume — H must divide by pack with H/pack
+    a ``block_h`` multiple; the output is a (H/pack, W, d) pseudo-volume whose
+    lanes [g·d/pack, (g+1)·d/pack) hold the costs of rows
+    [g·H/pack, (g+1)·H/pack). ``d_valid`` is then per group (≤ d/pack).
     """
     W = w
     H = cl.shape[1]
     if pack > 1:
-        assert pack == 2 and H % 2 == 0 and (H // 2) % block_h == 0, (
-            "pack=2 needs H/2 divisible by block_h (caller pads rows)"
+        assert pack in (2, 4) and H % pack == 0 and (H // pack) % block_h == 0, (
+            "pack needs H/pack divisible by block_h (caller pads rows)"
         )
-        H = H // 2
+        H = H // pack
     if d_valid is None:
         d_valid = d // pack
     # widths must cover the static strip windows: cl columns up to block_w−1,
@@ -334,20 +341,25 @@ def cost_volume_planes(
         )
         out_shape.append(jax.ShapeDtypeStruct((W, H, d), out_dtype))
         scratch.append(pltpu.VMEM((block_w, block_h, d), jnp.float32))
-    spec_l = pl.BlockSpec((nw, block_h, wl), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM)
-    spec_r = pl.BlockSpec((nw, block_h, wr), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM)
-    in_specs = [spec_l]
-    operands = [cl]
-    if pack > 1:  # half-1 rows arrive as separate refs offset by nh blocks
+    # group g's rows arrive as separate refs offset by g·nh blocks (the kernel
+    # consumes all pack left-census refs, then all pack right-census refs)
+    in_specs, operands = [], []
+    for g in range(pack):
         in_specs.append(
-            pl.BlockSpec((nw, block_h, wl), lambda i, j: (0, i + nh, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (nw, block_h, wl),
+                lambda i, j, g=g: (0, i + g * nh, 0),
+                memory_space=pltpu.VMEM,
+            )
         )
         operands.append(cl)
-    in_specs.append(spec_r)
-    operands.append(crr)
-    if pack > 1:
+    for g in range(pack):
         in_specs.append(
-            pl.BlockSpec((nw, block_h, wr), lambda i, j: (0, i + nh, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (nw, block_h, wr),
+                lambda i, j, g=g: (0, i + g * nh, 0),
+                memory_space=pltpu.VMEM,
+            )
         )
         operands.append(crr)
     out = pl.pallas_call(
@@ -407,16 +419,28 @@ def _sgm_step_norm(n_prev, c, p1, p2, dg: int = 0):
 
 
 def _group_min(l, dg: int):
-    """Per-lane-group minimum of (…, D), broadcast back to full lanes."""
+    """Per-lane-group minimum of (…, D), broadcast back to full lanes: one
+    masked reduction per contiguous ``dg``-lane group, stitched with a
+    cascade of region selects (2 and 4 groups in practice)."""
     D = l.shape[-1]
     if not dg or dg >= D:
         return jnp.min(l, axis=-1, keepdims=True)
-    assert D == 2 * dg, "lane packing supports exactly two groups"
+    ng = D // dg
+    assert D == ng * dg
     liota = jax.lax.broadcasted_iota(jnp.int32, l.shape, l.ndim - 1)
-    in0 = liota < dg
-    m0 = jnp.min(jnp.where(in0, l, _BIG), axis=-1, keepdims=True)
-    m1 = jnp.min(jnp.where(in0, _BIG, l), axis=-1, keepdims=True)
-    return jnp.where(in0, m0, m1)
+    mins = []
+    for g in range(ng):
+        if g == 0:
+            mask = liota < dg
+        elif g == ng - 1:
+            mask = liota >= g * dg
+        else:
+            mask = (liota >= g * dg) & (liota < (g + 1) * dg)
+        mins.append(jnp.min(jnp.where(mask, l, _BIG), axis=-1, keepdims=True))
+    res = mins[-1]
+    for g in reversed(range(ng - 1)):
+        res = jnp.where(liota < (g + 1) * dg, mins[g], res)
+    return res
 
 
 def _renorm(l, dg: int = 0):
@@ -1207,7 +1231,9 @@ def right_disparity(
 # ---------------------------------------------------------------------------
 
 
-def _shift_gather_kernel(src_ref, off_ref, out_ref, acc_ref, *, bs: int, single: bool):
+def _shift_gather_kernel(
+    src_ref, off_ref, out_ref, acc_ref, *, bs: int, single: bool, clipped: bool
+):
     # out[y, x] = src[y, x − off[y, x]], via roll-and-select:
     # Σ_s (off == s ∧ x ≥ s)·roll(src, s). A per-pixel lane gather is not
     # expressible on TPU; max_offset rolls of the row block are cheap. The
@@ -1231,23 +1257,31 @@ def _shift_gather_kernel(src_ref, off_ref, out_ref, acc_ref, *, bs: int, single:
         acc = acc_ref[:]
         base = pltpu.roll(src_ref[:], j * bs, 1)
     off = off_ref[:]
-    x_iota = jax.lax.broadcasted_iota(jnp.int32, off.shape, 1)
+    x_iota = None if clipped else jax.lax.broadcasted_iota(jnp.int32, off.shape, 1)
     for ss in range(bs):  # unrolled: static rotates
         s = j * bs + ss
         rolled = pltpu.roll(base, ss, 1)
-        acc = jnp.where((off == s) & (x_iota >= s), rolled, acc)
+        # ``clipped``: the caller guarantees off ≤ x everywhere, so off == s
+        # already implies x ≥ s — the wrap guard (a compare + and per roll,
+        # ~half the kernel's VPU work) drops out
+        sel = (off == s) if clipped else ((off == s) & (x_iota >= s))
+        acc = jnp.where(sel, rolled, acc)
     if not single:
         acc_ref[:] = acc
     out_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("max_offset", "block_h", "block_s", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_offset", "block_h", "block_s", "assume_clipped", "interpret"),
+)
 def shift_gather(
     src: jax.Array,
     offsets: jax.Array,
     max_offset: int,
     block_h: int = 16,
     block_s: int | None = None,
+    assume_clipped: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """(H, W) src, (H, W) int32 offsets in [0, max_offset) →
@@ -1256,7 +1290,11 @@ def shift_gather(
     Replaces per-pixel take_along_axis gathers (≈9 ms at 720p) with max_offset
     lane rotates (≈1 ms). ``block_s`` (rolls per grid step) defaults to the
     smallest unroll whose grid covers max_offset with ≤128-step blocks — a
-    fixed 64 wasted up to 49% of the rolls (e.g. 128 for max_offset 65)."""
+    fixed 64 wasted up to 49% of the rolls (e.g. 128 for max_offset 65).
+
+    ``assume_clipped``: caller guarantees offsets ≤ x (e.g. via
+    ``jnp.clip(off, 0, x)``) — skips the per-roll left-edge guard, ~2× fewer
+    VPU ops. Every SGM-internal call site pre-clips."""
     H, W = src.shape
     Wp = -(-W // 128) * 128
     if Wp != W:
@@ -1267,7 +1305,10 @@ def shift_gather(
         block_s = -(-max_offset // pl.cdiv(max_offset, 128))
     ns = pl.cdiv(max_offset, block_s)
     out = pl.pallas_call(
-        functools.partial(_shift_gather_kernel, bs=block_s, single=(ns == 1)),
+        functools.partial(
+            _shift_gather_kernel, bs=block_s, single=(ns == 1),
+            clipped=assume_clipped,
+        ),
         grid=(nh, ns),
         in_specs=[
             pl.BlockSpec((block_h, Wp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),

@@ -70,12 +70,12 @@ class SGMParams:
     mode: str = "full"
     coarse_scale: int = 4
     refine_range: int = 64
-    # lane packing: pack=2 solves the image's top/bottom halves as two
-    # independent 64-lane disparity groups of one 128-lane volume — every
-    # volume stage halves. Requires num_disparities ≤ 64; vertical paths
-    # restart at the half seam (same warm-up approximation as the multi-chip
-    # row tiling in parallel/disparity). Set internally by the hier refine
-    # when refine_range ≤ 64; usable directly for small-range full searches.
+    # lane packing: pack ∈ {2, 4} solves the image's pack horizontal strips as
+    # independent (128/pack)-lane disparity groups of one 128-lane volume —
+    # every volume stage divides by pack. Requires num_disparities ≤ 128/pack;
+    # vertical paths restart at the strip seams (same warm-up approximation as
+    # the multi-chip row tiling in parallel/disparity). Set internally by the
+    # hier refine from refine_range; usable directly for small full searches.
     pack: int = 1
 
 
@@ -318,7 +318,8 @@ def _lr_compare(disp, disp_r_idx, p: SGMParams, impl: str):
         off = jnp.round(disp).astype(jnp.int32) - p.min_disparity
         off = jnp.clip(off, 0, x[None, :])
         dr_at = sgm_pallas.shift_gather(
-            disp_r, off, D + 1, interpret=(impl == "pallas_interpret")
+            disp_r, off, D + 1, assume_clipped=True,
+            interpret=(impl == "pallas_interpret"),
         )
     return jnp.abs(disp - dr_at) <= p.lr_max_diff
 
@@ -441,18 +442,21 @@ def _disparity_core(left, right, params: SGMParams, impl: str):
 
 
 def _disparity_core_packed(left, right, params: SGMParams, impl: str):
-    """Lane-packed core (pack=2): the top/bottom halves of the image travel as
-    two independent 64-lane disparity groups of one (H/2, W, 128) pseudo-volume
-    — cost, aggregation, and WTA traffic all halve. Vertical SGM paths restart
-    at the half seam (the same warm-up approximation as the row tiling in
-    parallel/disparity); everything else is exact. The XLA path runs the two
-    halves separately at D ≤ 64 over a shared full-image census — bit-identical
-    to the packed kernels (parity-tested).
+    """Lane-packed core (pack ∈ {2, 4}): pack horizontal strips of the image
+    travel as independent (128/pack)-lane disparity groups of one
+    (H/pack, W, 128) pseudo-volume — cost, aggregation, and WTA traffic all
+    divide by pack. Vertical SGM paths restart at the strip seams (the same
+    warm-up approximation as the row tiling in parallel/disparity); everything
+    else is exact. The XLA path runs the strips separately at D ≤ 128/pack
+    over a shared full-image census — bit-identical to the packed kernels
+    (parity-tested).
     """
     H, W = left.shape
-    bh = 8  # cost-kernel row block: the half height must be a block multiple
-    Hh = -(-(-(-H // 2)) // bh) * bh
-    Hp = 2 * Hh
+    pk = params.pack
+    dg = 128 // pk  # lanes per strip's disparity group
+    bh = 8  # cost-kernel row block: the strip height must be a block multiple
+    Hh = -(-(-(-H // pk)) // bh) * bh
+    Hp = pk * Hh
     if Hp != H:  # replicate-pad the bottom rows (both impls see the same rows)
         left = jnp.concatenate([left, jnp.repeat(left[-1:], Hp - H, axis=0)], axis=0)
         right = jnp.concatenate([right, jnp.repeat(right[-1:], Hp - H, axis=0)], axis=0)
@@ -461,7 +465,7 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str):
         cl = im.census_transform(left, params.census_ksize, params.census_wsize)
         cr = im.census_transform(right, params.census_ksize, params.census_wsize)
         parts = []
-        for g in (0, 1):
+        for g in range(pk):
             sl = slice(g * Hh, (g + 1) * Hh)
             cost = cost_from_census(cl[sl], cr[sl], params)
             agg = aggregate(cost, params)
@@ -469,16 +473,16 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str):
             if params.lr_max_diff >= 0:
                 valid_g = valid_g & _left_right_check(agg, disp_g, params)
             parts.append((disp_g, valid_g, best_g))
-        disp = jnp.concatenate([parts[0][0], parts[1][0]], axis=0)
-        valid = jnp.concatenate([parts[0][1], parts[1][1]], axis=0)
-        best = jnp.concatenate([parts[0][2], parts[1][2]], axis=0)
+        disp = jnp.concatenate([q[0] for q in parts], axis=0)
+        valid = jnp.concatenate([q[1] for q in parts], axis=0)
+        best = jnp.concatenate([q[2] for q in parts], axis=0)
         return disp[:H], valid[:H], best[:H]
 
     from stereovision_tpu.ops import sgm_pallas
 
     interpret = impl == "pallas_interpret"
     p = params
-    D = p.num_disparities  # ≤ 64: one lane group per image half
+    D = p.num_disparities  # ≤ 128/pack: one lane group per strip
     cl = sgm_pallas.census_words(
         left, p.census_ksize, p.census_wsize, interpret=interpret
     )
@@ -489,28 +493,31 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str):
     n_bits = p.census_ksize * p.census_wsize - 1
     cost, cost_t = sgm_pallas.cost_volume_planes(
         cl, crr, W, 128, d_valid=D, min_d=p.min_disparity,
-        max_cost=float(n_bits), transposed=1, pack=2, interpret=interpret,
+        max_cost=float(n_bits), transposed=1, pack=pk, interpret=interpret,
     )
     vol_dt = jnp.int8 if (n_bits + p.p2) <= 127 else jnp.int16
     dual = functools.partial(
         sgm_pallas.aggregate_dual, p1=p.p1, p2=p.p2, out_dtype=vol_dt,
-        groups=2, interpret=interpret,
+        groups=pk, interpret=interpret,
     )
     hf_t, hb_t = dual(cost_t, axis=0)
     vf, vb = dual(cost, axis=0)
     s_t, best, idx, cm, cp, comp = sgm_pallas.sum_wta(
-        (hf_t, hb_t, vf, vb), d_valid=D, groups=2,
+        (hf_t, hb_t, vf, vb), d_valid=D, groups=pk,
         emit_transposed=p.lr_max_diff >= 0, interpret=interpret,
     )
     disp, valid, best_c = _wta(None, p, (best, idx, cm, cp, comp))
     if p.lr_max_diff >= 0:
-        r0 = sgm_pallas.right_disparity(
-            s_t, D, pre_transposed=True, interpret=interpret
+        disp_r = jnp.concatenate(
+            [
+                sgm_pallas.right_disparity(
+                    s_t, D, pre_transposed=True, plane_offset=g * dg,
+                    interpret=interpret,
+                )
+                for g in range(pk)
+            ],
+            axis=0,
         )
-        r1 = sgm_pallas.right_disparity(
-            s_t, D, pre_transposed=True, plane_offset=64, interpret=interpret
-        )
-        disp_r = jnp.concatenate([r0, r1], axis=0)
         valid = valid & _lr_compare(disp, disp_r, p, impl)
     return disp[:H], valid[:H], best_c[:H]
 
@@ -538,8 +545,10 @@ def _compute_full(left, right, params: SGMParams):
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
     impl = _resolve_impl(params.impl)
-    if params.pack == 2:
-        assert params.num_disparities <= 64, "pack=2 needs num_disparities ≤ 64"
+    if params.pack > 1:
+        assert params.pack in (2, 4) and params.num_disparities <= 128 // params.pack, (
+            "lane packing needs num_disparities ≤ 128/pack"
+        )
         disp, valid, best = _disparity_core_packed(left, right, params, impl)
     else:
         disp, valid, best = _disparity_core(left, right, params, impl)
@@ -743,12 +752,12 @@ def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = Fals
         off = jnp.clip(shift.astype(jnp.int32), 0, xs)
         warped_right = sgm_pallas.shift_gather(
             right, off, p.min_disparity + p.num_disparities - R + 1,
-            interpret=(impl == "pallas_interpret"),
+            assume_clipped=True, interpret=(impl == "pallas_interpret"),
         )
 
     refine_p = _dc.replace(
         p, mode="full", num_disparities=R, min_disparity=0,
-        pack=2 if R <= 64 else 1,
+        pack=4 if R <= 32 else (2 if R <= 64 else 1),
     )
     disp_r, valid, best = _compute_full(left, warped_right, refine_p)
     # cost(x, i) compared left[x] against warped_right[x−i] =
@@ -763,7 +772,8 @@ def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = Fals
         from stereovision_tpu.ops import sgm_pallas
 
         shift_at = sgm_pallas.shift_gather(
-            shift, drr, R, interpret=(impl == "pallas_interpret")
+            shift, drr, R, assume_clipped=True,
+            interpret=(impl == "pallas_interpret"),
         )
     if mask_seams:
         # total shift variation over the census support (±(k//2 + 1) columns,
@@ -784,7 +794,8 @@ def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = Fals
             ramp_at = jnp.take_along_axis(ramp, xs - drr, axis=1)
         else:
             ramp_at = sgm_pallas.shift_gather(
-                ramp, drr, R, interpret=(impl == "pallas_interpret")
+                ramp, drr, R, assume_clipped=True,
+                interpret=(impl == "pallas_interpret"),
             )
         valid = valid & (ramp_at < 0.5)
     disp = jnp.where(valid, disp_r + shift_at, float(p.min_disparity) - 1.0)

@@ -186,6 +186,24 @@ class TestLanePacked:
         np.testing.assert_array_equal(np.asarray(dp), np.asarray(dx))
         np.testing.assert_array_equal(np.asarray(vp), np.asarray(vp))
 
+    def test_packed4_parity(self):
+        left, right = self._pair(48, 120)
+        p_x = SGMParams(num_disparities=16, pack=4, impl="xla")
+        p_p = dataclasses.replace(p_x, impl="pallas_interpret")
+        dx, vx = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_x)
+        dp, vp = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_p)
+        np.testing.assert_array_equal(np.asarray(dp), np.asarray(dx))
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(vx))
+
+    def test_packed4_parity_odd_height_min_disparity(self):
+        left, right = self._pair(41, 120, shift=9)
+        p_x = SGMParams(min_disparity=4, num_disparities=32, pack=4, impl="xla")
+        p_p = dataclasses.replace(p_x, impl="pallas_interpret")
+        dx, vx = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_x)
+        dp, vp = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_p)
+        np.testing.assert_array_equal(np.asarray(dp), np.asarray(dx))
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(vx))
+
     def test_packed_matches_manual_halves(self):
         """The packed result equals per-half solves over a full-image census."""
         from stereovision_tpu.core import image as im
