@@ -176,11 +176,20 @@ def run_reference(left, right):
 
 
 def run_ours(left, right, mode):
+    import dataclasses
+
     import jax.numpy as jnp
 
     from stereovision_tpu.stereo import compute_disparity, reference_preset
 
+    # mode "hier_r32" = hier with refine_range 32 (the pack=4 refine)
+    refine = None
+    if "_r" in mode:
+        mode, rr = mode.split("_r")
+        refine = int(rr)
     p = reference_preset(mode=mode)
+    if refine is not None:
+        p = dataclasses.replace(p, refine_range=refine)
     disp, valid = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
     d = np.asarray(disp)
     return d, np.asarray(valid), None

@@ -64,9 +64,18 @@ def main():
     check("cost (H,W,D)", c_t[0], c_i[0])
     check("cost (W,H,D)", c_t[1], c_i[1])
 
+    # lane-packed cost volume (pack=4: the hier refine_range=32 layout)
+    c4_t = sgm_pallas.cost_volume_planes(cw_t, cwm_t, W, D, d_valid=32,
+                                         max_cost=24.0, transposed=1, pack=4)
+    c4_i = sgm_pallas.cost_volume_planes(cw_i, cwm_i, W, D, d_valid=32,
+                                         max_cost=24.0, transposed=1, pack=4,
+                                         interpret=True)
+    check("cost pack=4 (H,W,D)", c4_t[0], c4_i[0])
+    check("cost pack=4 (W,H,D)", c4_t[1], c4_i[1])
+
     # dual aggregation both axes-of-volume orientations
     cost = jnp.asarray(rng.integers(0, 25, (H, W, D)).astype(np.int8))
-    for gname, groups in (("", 1), (" groups=2", 2)):
+    for gname, groups in (("", 1), (" groups=2", 2), (" groups=4", 4)):
         a_t = sgm_pallas.aggregate_dual(cost, 8.0, 96.0, axis=0,
                                         out_dtype=jnp.int8, groups=groups)
         a_i = sgm_pallas.aggregate_dual(cost, 8.0, 96.0, axis=0,
@@ -114,12 +123,21 @@ def main():
     r_i = sgm_pallas.right_disparity(s_t, 100, pre_transposed=True, interpret=True)
     check("right_disparity", r_t, r_i)
 
-    # shift_gather
+    # shift_gather (plain; and the pruned clipped multi-block warp form —
+    # smooth offsets so the data-dependent block skip actually skips)
     src = jnp.asarray(rng.uniform(0, 100, (H, W)).astype(np.float32))
     off = jnp.asarray(rng.integers(0, 65, (H, W)).astype(np.int32))
     g_t = sgm_pallas.shift_gather(src, off, 65)
     g_i = sgm_pallas.shift_gather(src, off, 65, interpret=True)
     check("shift_gather", g_t, g_i)
+    offs_np = (80 + 60 * np.sin(np.arange(W) / 37.0)[None, :]
+               + 20 * np.cos(np.arange(H) / 11.0)[:, None]).astype(np.int32)
+    offs_np = np.minimum(np.maximum(offs_np, 0), np.arange(W)[None, :])
+    offs = jnp.asarray(offs_np)
+    gc_t = sgm_pallas.shift_gather(src, offs, 257, block_s=32, assume_clipped=True)
+    gc_i = sgm_pallas.shift_gather(src, offs, 257, block_s=32,
+                                   assume_clipped=True, interpret=True)
+    check("shift_gather pruned", gc_t, gc_i)
 
     # speckle counts
     dv = jnp.asarray(rng.uniform(-64, 128, (H, W)).astype(np.float32))
@@ -161,8 +179,13 @@ def main():
         except Exception:
             pass
         lf, rt = jnp.asarray(base[:, :Wf]), jnp.asarray(base[:, k : k + Wf])
-        for mode in ("full", "hier", "hier2"):
-            p = SGMParams(num_disparities=320, mode=mode)
+        for label, p in (
+            ("full", SGMParams(num_disparities=320, mode="full")),
+            ("hier", SGMParams(num_disparities=320, mode="hier")),
+            ("hier_r32", SGMParams(num_disparities=320, mode="hier",
+                                   refine_range=32)),
+            ("hier2", SGMParams(num_disparities=320, mode="hier2")),
+        ):
             d_t, v_t = compute_disparity(lf, rt, p)
             d_np, v_np = np.asarray(d_t), np.asarray(v_t)
             inner = np.s_[20:-20, 340:-20]
@@ -170,10 +193,10 @@ def main():
             med = (float(np.median(d_np[inner][v_np[inner]]))
                    if v_np[inner].any() else float("nan"))
             ok = cov > 0.9 and abs(med - k) < 0.5
-            print(f"{'e2e-720p ' + mode:>24}: "
+            print(f"{'e2e-720p ' + label:>24}: "
                   f"{'OK' if ok else 'FAIL'} (cov {cov:.3f}, median {med:.2f}, true {k})")
             if not ok:
-                failures.append(f"e2e-720p {mode}")
+                failures.append(f"e2e-720p {label}")
 
     print("RESULT:", "PASS" if not failures else f"FAIL {failures}")
     return 1 if failures else 0

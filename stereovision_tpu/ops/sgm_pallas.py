@@ -1245,30 +1245,40 @@ def _shift_gather_kernel(
     # the base rotate and the accumulator carry disappear.
     j = pl.program_id(1)
 
-    if single:
-        acc = jnp.zeros_like(acc_ref)
-        base = src_ref[:]
-    else:
-
-        @pl.when(j == 0)
-        def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        acc = acc_ref[:]
-        base = pltpu.roll(src_ref[:], j * bs, 1)
     off = off_ref[:]
     x_iota = None if clipped else jax.lax.broadcasted_iota(jnp.int32, off.shape, 1)
-    for ss in range(bs):  # unrolled: static rotates
-        s = j * bs + ss
-        rolled = pltpu.roll(base, ss, 1)
-        # ``clipped``: the caller guarantees off ≤ x everywhere, so off == s
-        # already implies x ≥ s — the wrap guard (a compare + and per roll,
-        # ~half the kernel's VPU work) drops out
-        sel = (off == s) if clipped else ((off == s) & (x_iota >= s))
-        acc = jnp.where(sel, rolled, acc)
-    if not single:
-        acc_ref[:] = acc
-    out_ref[:] = acc
+
+    def sweep(acc, base):
+        for ss in range(bs):  # unrolled: static rotates
+            s = j * bs + ss
+            rolled = pltpu.roll(base, ss, 1)
+            # ``clipped``: the caller guarantees off ≤ x everywhere, so
+            # off == s already implies x ≥ s — the wrap guard (a compare +
+            # and per roll, ~half the kernel's VPU work) drops out
+            sel = (off == s) if clipped else ((off == s) & (x_iota >= s))
+            acc = jnp.where(sel, rolled, acc)
+        return acc
+
+    if single:
+        out_ref[:] = sweep(jnp.zeros_like(out_ref), src_ref[:])
+        return
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Data-dependent pruning: offset fields from the SGM pipeline (warped-
+    # image shifts, disparities) are locally smooth, so a given row block
+    # usually spans a small slice of [0, max_offset) — skip this grid step's
+    # whole roll unroll when none of its bs offsets occur in the block.
+    hit = jnp.any((off >= j * bs) & (off < (j + 1) * bs))
+
+    @pl.when(hit)
+    def _():
+        base = pltpu.roll(src_ref[:], j * bs, 1)
+        acc_ref[:] = sweep(acc_ref[:], base)
+
+    out_ref[:] = acc_ref[:]
 
 
 @functools.partial(

@@ -750,9 +750,13 @@ def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = Fals
         from stereovision_tpu.ops import sgm_pallas
 
         off = jnp.clip(shift.astype(jnp.int32), 0, xs)
+        # block_s 32: fine-grained roll blocks let the kernel's smooth-offset
+        # pruning skip most of the [0, D−R] shift range per row block (the
+        # warp shift spans a small local window of its ~D−R global range)
         warped_right = sgm_pallas.shift_gather(
             right, off, p.min_disparity + p.num_disparities - R + 1,
-            assume_clipped=True, interpret=(impl == "pallas_interpret"),
+            block_s=32, assume_clipped=True,
+            interpret=(impl == "pallas_interpret"),
         )
 
     refine_p = _dc.replace(
