@@ -159,53 +159,74 @@ def main():
     )
     stages["shift_gather"] = lambda: sg_j(disp0)
 
-    # ---- lane-packed refine stages (the hier production shape) ----
-    Dp, dg = 128, 64
-
-    def census_pk(l, r):
-        return (
+    # ---- lane-packed refine stages (the hier production shapes) ----
+    census_pk_j = jax.jit(
+        lambda l, r: (
             sgm_pallas.census_words(l, 5, 5),
             sgm_pallas.census_words(r[:, ::-1], 5, 5, mirror=True),
         )
-
-    census_pk_j = jax.jit(census_pk)
-
-    def cost_pk(l, r):
-        cl, crr = census_pk_j(l, r)
-        return sgm_pallas.cost_volume_planes(
-            cl, crr, W, Dp, d_valid=dg, min_d=0, max_cost=24.0, transposed=1, pack=2
-        )
-
-    cost_pk_j = jax.jit(cost_pk)
-
-    def agg_pk(l, r):
-        c, ct = cost_pk_j(l, r)
-        hf_t, hb_t = sgm_pallas.aggregate_dual(ct, 8.0, 96.0, axis=0, out_dtype=jnp.int8, groups=2)
-        vf, vb = sgm_pallas.aggregate_dual(c, 8.0, 96.0, axis=0, out_dtype=jnp.int8, groups=2)
-        return hf_t, hb_t, vf, vb
-
-    agg_pk_j = jax.jit(agg_pk)
-
-    def sumwta_pk(l, r):
-        hf_t, hb_t, vf, vb = agg_pk_j(l, r)
-        hsum = jnp.transpose(hf_t.astype(jnp.int16) + hb_t.astype(jnp.int16), (1, 0, 2))
-        return sgm_pallas.sum_wta((hsum, vf, vb), d_valid=dg, groups=2, emit_transposed=True)
-
-    sumwta_pk_j = jax.jit(sumwta_pk)
-
-    def rdisp_pk(l, r):
-        s_t = sumwta_pk_j(l, r)[0]
-        r0 = sgm_pallas.right_disparity(s_t, dg, pre_transposed=True)
-        r1 = sgm_pallas.right_disparity(s_t, dg, pre_transposed=True, plane_offset=dg)
-        return jnp.concatenate([r0, r1], axis=0)
-
-    rdisp_pk_j = jax.jit(rdisp_pk)
-
+    )
     stages["pk_census"] = lambda: census_pk_j(left, right)
-    stages["pk_cost(+c)"] = lambda: cost_pk_j(left, right)
-    stages["pk_agg(+c)"] = lambda: agg_pk_j(left, right)
-    stages["pk_sumwta(+a)"] = lambda: sumwta_pk_j(left, right)
-    stages["pk_rdisp(+s)"] = lambda: rdisp_pk_j(left, right)
+
+    def add_pack_stages(pk):
+        Dp = 128
+        dg = Dp // pk
+        # strip height must be a cost-block multiple (the production core
+        # replicate-pads the image rows the same way)
+        Hh = -(-(-(-H // pk)) // 8) * 8
+        pad = pk * Hh - H
+
+        def cost_pk(l, r):
+            if pad:
+                l = jnp.concatenate([l, jnp.repeat(l[-1:], pad, axis=0)], axis=0)
+                r = jnp.concatenate([r, jnp.repeat(r[-1:], pad, axis=0)], axis=0)
+            cl, crr = census_pk_j(l, r)
+            return sgm_pallas.cost_volume_planes(
+                cl, crr, W, Dp, d_valid=dg, min_d=0, max_cost=24.0,
+                transposed=1, pack=pk,
+            )
+
+        cost_pk_j = jax.jit(cost_pk)
+
+        def agg_pk(l, r):
+            c, ct = cost_pk_j(l, r)
+            hf_t, hb_t = sgm_pallas.aggregate_dual(
+                ct, 8.0, 96.0, axis=0, out_dtype=jnp.int8, groups=pk
+            )
+            vf, vb = sgm_pallas.aggregate_dual(
+                c, 8.0, 96.0, axis=0, out_dtype=jnp.int8, groups=pk
+            )
+            return hf_t, hb_t, vf, vb
+
+        agg_pk_j = jax.jit(agg_pk)
+
+        def sumwta_pk(l, r):
+            vols = agg_pk_j(l, r)
+            return sgm_pallas.sum_wta(vols, d_valid=dg, groups=pk, emit_transposed=True)
+
+        sumwta_pk_j = jax.jit(sumwta_pk)
+
+        def rdisp_pk(l, r):
+            s_t = sumwta_pk_j(l, r)[0]
+            return jnp.concatenate(
+                [
+                    sgm_pallas.right_disparity(
+                        s_t, dg, pre_transposed=True, plane_offset=g * dg
+                    )
+                    for g in range(pk)
+                ],
+                axis=0,
+            )
+
+        rdisp_pk_j = jax.jit(rdisp_pk)
+        tag = f"pk{pk}"
+        stages[f"{tag}_cost(+c)"] = lambda: cost_pk_j(left, right)
+        stages[f"{tag}_agg(+c)"] = lambda: agg_pk_j(left, right)
+        stages[f"{tag}_sumwta(+a)"] = lambda: sumwta_pk_j(left, right)
+        stages[f"{tag}_rdisp(+s)"] = lambda: rdisp_pk_j(left, right)
+
+    add_pack_stages(2)
+    add_pack_stages(4)
 
     sel = sys.argv[1:] or list(stages)
     for name in sel:

@@ -50,7 +50,8 @@ def _eval_one(left, right, gt, args):
     from stereovision_tpu.stereo import SGMParams, compute_disparity
     from stereovision_tpu.stereo.eval import evaluate_disparity
 
-    p = SGMParams(num_disparities=args.num_disparities, mode=args.mode)
+    p = SGMParams(num_disparities=args.num_disparities, mode=args.mode,
+                  refine_range=args.refine_range)
     disp, valid = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
     return evaluate_disparity(np.asarray(disp), gt, valid=np.asarray(valid))
 
@@ -66,6 +67,8 @@ def main(argv=None):
                     help="divisor for integer PNG ground truth (KITTI: 256)")
     ap.add_argument("--num-disparities", type=int, default=256)
     ap.add_argument("--mode", choices=["full", "hier", "hier2"], default="hier")
+    ap.add_argument("--refine-range", type=int, default=64,
+                    help="hier refine window (32 = pack=4 fast path)")
     ap.add_argument("--json", action="store_true", help="one JSON line per scene")
     args = ap.parse_args(argv)
 

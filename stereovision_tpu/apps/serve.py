@@ -52,7 +52,7 @@ class _Server:
 
             self.pipe = DepthPipeline.from_store(
                 args.calib, num_disparities=args.num_disparities,
-                mode=args.sgm_mode,
+                mode=args.sgm_mode, refine_range=args.refine_range,
             )
         else:
             from stereovision_tpu.pipeline import FusedPipeline
@@ -146,6 +146,8 @@ def main(argv=None, stdin=None, stdout=None):
     ap.add_argument("--num-disparities", type=int, default=320)
     ap.add_argument("--sgm-mode", choices=["full", "hier", "hier2"],
                     default="hier")
+    ap.add_argument("--refine-range", type=int, default=64,
+                    help="hier refine window (32 = pack=4 fast path)")
     ap.add_argument("--scale", type=float, default=0.33,
                     help="fused-mode processing scale (fused_depth_map.py:39)")
     ap.add_argument("--out", default="depth_captures")

@@ -75,11 +75,17 @@ class DepthPipeline:
         self._run = _run
 
     @classmethod
-    def from_store(cls, calib_dir, num_disparities=320, mode="full", **kw):
+    def from_store(cls, calib_dir, num_disparities=320, mode="full",
+                   refine_range=64, **kw):
         from stereovision_tpu.io.store import CalibrationStore
 
         cal = CalibrationStore(calib_dir).load("stereo_calibration_data")
-        return cls(cal, SGMParams(num_disparities=num_disparities, mode=mode), **kw)
+        return cls(
+            cal,
+            SGMParams(num_disparities=num_disparities, mode=mode,
+                      refine_range=refine_range),
+            **kw,
+        )
 
     def __call__(self, left, right) -> DepthResult:
         disp, conf, depth = self._run(
