@@ -1306,6 +1306,7 @@ def shift_gather(
     ``jnp.clip(off, 0, x)``) — skips the per-roll left-edge guard, ~2× fewer
     VPU ops. Every SGM-internal call site pre-clips."""
     H, W = src.shape
+    assert offsets.shape == src.shape, (offsets.shape, src.shape)
     Wp = -(-W // 128) * 128
     if Wp != W:
         src = jnp.pad(src, ((0, 0), (0, Wp - W)))

@@ -155,6 +155,60 @@ class TestSpeckleKernel:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+class TestShiftGather:
+    """out[y, x] = src[y, x − off] for every kernel variant (plain guarded,
+    assume_clipped, and the pruned multi-block form with its data-dependent
+    block skip), against a take_along_axis reference."""
+
+    def _case(self, h=40, w=200, max_off=257):
+        src = RNG.uniform(0, 99, size=(h, w)).astype(np.float32)
+        x = np.arange(w)[None, :]
+        off = np.minimum(RNG.integers(0, max_off, (h, w)), x).astype(np.int32)
+        ref = np.take_along_axis(src, x - off, axis=1)
+        return jnp.asarray(src), jnp.asarray(off), ref
+
+    def test_matches_gather_all_variants(self):
+        from stereovision_tpu.ops.sgm_pallas import shift_gather
+
+        src, off, ref = self._case()
+        for kw in (
+            {},
+            {"assume_clipped": True},
+            {"assume_clipped": True, "block_s": 32},
+            {"assume_clipped": True, "block_s": 64, "block_h": 8},
+        ):
+            out = np.asarray(shift_gather(src, off, 257, interpret=True, **kw))
+            np.testing.assert_array_equal(out, ref)
+
+    def test_smooth_offsets_hit_skip_path(self):
+        """A smooth offset field (the warp's shape) leaves most roll blocks
+        unvisited; outputs must still be exact."""
+        from stereovision_tpu.ops.sgm_pallas import shift_gather
+
+        h, w = 48, 300
+        src = RNG.uniform(0, 99, size=(h, w)).astype(np.float32)
+        x = np.arange(w)[None, :]
+        off = np.clip(
+            (120 + 60 * np.sin(np.arange(w) / 31.0)[None, :]).astype(np.int32),
+            0, x,
+        )
+        off = np.broadcast_to(off, (h, w)).copy()
+        ref = np.take_along_axis(src, x - off, axis=1)
+        out = np.asarray(
+            shift_gather(jnp.asarray(src), jnp.asarray(off), 289,
+                         block_s=32, assume_clipped=True, interpret=True)
+        )
+        np.testing.assert_array_equal(out, ref)
+
+    def test_out_of_range_offsets_zero(self):
+        from stereovision_tpu.ops.sgm_pallas import shift_gather
+
+        src = jnp.ones((8, 160), jnp.float32)
+        off = jnp.full((8, 160), 500, jnp.int32)  # beyond max_offset
+        out = np.asarray(shift_gather(src, off, 65, interpret=True))
+        assert (out == 0).all()
+
+
 class TestLanePacked:
     """pack=2: the image halves travel as two 64-lane disparity groups.
 
@@ -268,3 +322,13 @@ class TestLanePacked:
         err_f = np.abs(df[inner] - gt[None, 80:-10])[vf[inner]]
         assert np.median(err) < max(0.6, 1.3 * np.median(err_f)), (
             np.median(err), np.median(err_f))
+        # the pack=4 refine (refine_range 32, the bench headline config) must
+        # recover the same slanted surface to the same tolerance
+        p32 = dataclasses.replace(p, refine_range=32)
+        d32, v32 = compute_disparity(jnp.asarray(left), jnp.asarray(right), p32)
+        d32, v32 = np.asarray(d32), np.asarray(v32)
+        vi32 = v32[inner]
+        assert vi32.mean() > 0.7, vi32.mean()
+        err32 = np.abs(d32[inner] - gt[None, 80:-10])[vi32]
+        assert np.median(err32) < max(0.6, 1.3 * np.median(err_f)), (
+            np.median(err32), np.median(err_f))
