@@ -182,14 +182,20 @@ def run_ours(left, right, mode):
 
     from stereovision_tpu.stereo import compute_disparity, reference_preset
 
-    # mode "hier_r32" = hier with refine_range 32 (the pack=4 refine)
-    refine = None
+    # mode "hier_r32" = hier with refine_range 32 (the pack=4 refine);
+    # "hier_r32p2" additionally restricts the refine to horizontal paths
+    refine = paths = None
     if "_r" in mode:
         mode, rr = mode.split("_r")
+        if "p" in rr:
+            rr, pp = rr.split("p")
+            paths = int(pp)
         refine = int(rr)
     p = reference_preset(mode=mode)
     if refine is not None:
         p = dataclasses.replace(p, refine_range=refine)
+    if paths is not None:
+        p = dataclasses.replace(p, paths=paths)
     disp, valid = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
     d = np.asarray(disp)
     return d, np.asarray(valid), None

@@ -182,8 +182,8 @@ def main():
         for label, p in (
             ("full", SGMParams(num_disparities=320, mode="full")),
             ("hier", SGMParams(num_disparities=320, mode="hier")),
-            ("hier_r32", SGMParams(num_disparities=320, mode="hier",
-                                   refine_range=32)),
+            ("hier_r64", SGMParams(num_disparities=320, mode="hier",
+                                   refine_range=64)),
             ("hier2", SGMParams(num_disparities=320, mode="hier2")),
         ):
             d_t, v_t = compute_disparity(lf, rt, p)

@@ -26,7 +26,7 @@ def main(argv=None):
     ap.add_argument("--num-disparities", type=int, default=320)
     ap.add_argument("--mode", choices=["full", "hier", "hier2"], default="full",
                     help="hier = coarse-to-fine (~2.8x faster at 320 disparities); hier2 = dual-window coarse-to-fine (better at depth discontinuities, ~1.5x faster)")
-    ap.add_argument("--refine-range", type=int, default=64,
+    ap.add_argument("--refine-range", type=int, default=32,
                     help="hier refine window (32 = pack=4 fast path)")
     ap.add_argument("--min-depth", type=float, default=0.2, help="meters (depth_map.py:1035)")
     ap.add_argument("--max-depth", type=float, default=4.0)

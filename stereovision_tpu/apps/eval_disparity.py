@@ -67,7 +67,7 @@ def main(argv=None):
                     help="divisor for integer PNG ground truth (KITTI: 256)")
     ap.add_argument("--num-disparities", type=int, default=256)
     ap.add_argument("--mode", choices=["full", "hier", "hier2"], default="hier")
-    ap.add_argument("--refine-range", type=int, default=64,
+    ap.add_argument("--refine-range", type=int, default=32,
                     help="hier refine window (32 = pack=4 fast path)")
     ap.add_argument("--json", action="store_true", help="one JSON line per scene")
     args = ap.parse_args(argv)

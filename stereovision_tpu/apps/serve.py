@@ -146,7 +146,7 @@ def main(argv=None, stdin=None, stdout=None):
     ap.add_argument("--num-disparities", type=int, default=320)
     ap.add_argument("--sgm-mode", choices=["full", "hier", "hier2"],
                     default="hier")
-    ap.add_argument("--refine-range", type=int, default=64,
+    ap.add_argument("--refine-range", type=int, default=32,
                     help="hier refine window (32 = pack=4 fast path)")
     ap.add_argument("--scale", type=float, default=0.33,
                     help="fused-mode processing scale (fused_depth_map.py:39)")

@@ -995,10 +995,11 @@ def sum_wta(
 ):
     """Path volumes → (s_t, best, idx, cm, cp, competitor).
 
-    ``vols`` is either the 4-tuple (hf_t, hb_t, vf, vb) straight from the two
+    ``vols`` is the 4-tuple (hf_t, hb_t, vf, vb) straight from the two
     :func:`aggregate_dual` sweeps — hf_t/hb_t in (W, H, D), vf/vb in
-    (H, W, D) — or the legacy 3-tuple (hsum, vf, vb) with hsum already
-    relayouted to (H, W, D).
+    (H, W, D) — the 2-tuple (hf_t, hb_t) for the horizontal-only path family
+    (SGMParams.paths == 2), or the legacy 3-tuple (hsum, vf, vb) with hsum
+    already relayouted to (H, W, D).
 
     ``s_t`` is the summed volume already transposed to (D, H, W) int16 for
     :func:`right_disparity` (None unless ``emit_transposed``); the statistics
@@ -1021,15 +1022,16 @@ def sum_wta(
     smallest disparity, matching :func:`_wta_stats`.
     """
     del interpret  # XLA path — flag kept for call-site symmetry
-    if len(vols) == 4:
-        hf_t, hb_t, vf, vb = vols
+    if len(vols) in (2, 4):
+        hf_t, hb_t = vols[0], vols[1]
+        vf, vb = (vols[2], vols[3]) if len(vols) == 4 else (None, None)
         if emit_transposed:
             return _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid, groups)
         # stats-only: lane-dim reductions over (H, W, D) win — fall through
         hsum = jnp.transpose(
             hf_t.astype(jnp.int16) + hb_t.astype(jnp.int16), (1, 0, 2)
         )
-        vols = (hsum, vf, vb)
+        vols = (hsum, vf, vb) if vf is not None else (hsum,)
     D = vols[0].shape[-1]
     dg = D // groups
     s = sum(v.astype(jnp.int32) for v in vols)
@@ -1089,10 +1091,11 @@ def _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid: int, groups: int):
     read of s_t instead of a second full-volume pass over an hsum
     intermediate. Values are bit-identical to the lane-dim formulation (same
     integer sums, same smallest-d tie resolution)."""
-    D = vf.shape[-1]
+    D = hf_t.shape[-1]
     dg = D // groups
     st = jnp.transpose(hf_t.astype(jnp.int32) + hb_t.astype(jnp.int32), (2, 1, 0))
-    st = st + jnp.transpose(vf.astype(jnp.int32) + vb.astype(jnp.int32), (2, 0, 1))
+    if vf is not None:  # paths=2 sums the horizontal pair only
+        st = st + jnp.transpose(vf.astype(jnp.int32) + vb.astype(jnp.int32), (2, 0, 1))
     p_iota = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
     dl = p_iota % dg if groups > 1 else p_iota
     if d_valid < dg:

@@ -76,7 +76,7 @@ class DepthPipeline:
 
     @classmethod
     def from_store(cls, calib_dir, num_disparities=320, mode="full",
-                   refine_range=64, **kw):
+                   refine_range=32, **kw):
         from stereovision_tpu.io.store import CalibrationStore
 
         cal = CalibrationStore(calib_dir).load("stereo_calibration_data")

@@ -69,7 +69,11 @@ class SGMParams:
     # "hier" invalidates, at ~1.6× hier cost (still ≫ full-search speed)
     mode: str = "full"
     coarse_scale: int = 4
-    refine_range: int = 64
+    # 32 (the pack=4 refine) measured BETTER than 64 on 3/4 quality scenes in
+    # hier and on 4/4 in hier2 (narrower windows exclude more wrong matches)
+    # while running ~1.4x faster; plain hier on large-discontinuity scenes
+    # ("steps") is the one case 64 wins — hier2 covers it strictly better.
+    refine_range: int = 32
     # lane packing: pack ∈ {2, 4} solves the image's pack horizontal strips as
     # independent (128/pack)-lane disparity groups of one 128-lane volume —
     # every volume stage divides by pack. Requires num_disparities ≤ 128/pack;
@@ -77,6 +81,11 @@ class SGMParams:
     # the multi-chip row tiling in parallel/disparity). Set internally by the
     # hier refine from refine_range; usable directly for small full searches.
     pack: int = 1
+    # SGM path family: 4 = two dual sweeps (→ ← ↓ ↑, the default); 2 = the
+    # horizontal pair only — drops the vertical sweep (~35% of aggregation
+    # work). Mainly useful for the hier refine, where the coarse pass already
+    # fixed global structure and lane packing shortens vertical paths anyway.
+    paths: int = 4
 
 
 def reference_preset(mode: str = "hier") -> "SGMParams":
@@ -171,6 +180,8 @@ def aggregate(cost: jax.Array, p: SGMParams) -> jax.Array:
         s = jnp.moveaxis(_aggregate_dir(cost_w, p1, p2), 0, 1)
         # right→left
         s = s + jnp.moveaxis(_aggregate_dir(cost_w[::-1], p1, p2)[::-1], 0, 1)
+        if p.paths == 2:
+            return s
         # top→bottom: scan over H; state is (W, D) per row.
         s = s + _aggregate_dir(cost, p1, p2)
         # bottom→top
@@ -411,12 +422,16 @@ def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
         interpret=interpret,
     )
     hf_t, hb_t = dual(cost_t, axis=0)
-    vf, vb = dual(cost, axis=0)
+    if p.paths == 2:
+        vols = (hf_t, hb_t)
+    else:
+        vf, vb = dual(cost, axis=0)
+        vols = (hf_t, hb_t, vf, vb)
     # sum_wta gets the raw per-direction volumes: with the LR check on it
     # builds s_t transpose-first (no hsum intermediate); without it the
     # lane-dim stats formulation runs on an internal hsum relayout
     s_t, best, idx, cm, cp, comp = sgm_pallas.sum_wta(
-        (hf_t, hb_t, vf, vb), d_valid=D, emit_transposed=p.lr_max_diff >= 0,
+        vols, d_valid=D, emit_transposed=p.lr_max_diff >= 0,
         interpret=interpret,
     )
     return None, (best, idx, cm, cp, comp), s_t
@@ -501,9 +516,13 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str):
         groups=pk, interpret=interpret,
     )
     hf_t, hb_t = dual(cost_t, axis=0)
-    vf, vb = dual(cost, axis=0)
+    if p.paths == 2:
+        vols = (hf_t, hb_t)
+    else:
+        vf, vb = dual(cost, axis=0)
+        vols = (hf_t, hb_t, vf, vb)
     s_t, best, idx, cm, cp, comp = sgm_pallas.sum_wta(
-        (hf_t, hb_t, vf, vb), d_valid=D, groups=pk,
+        vols, d_valid=D, groups=pk,
         emit_transposed=p.lr_max_diff >= 0, interpret=interpret,
     )
     disp, valid, best_c = _wta(None, p, (best, idx, cm, cp, comp))
@@ -592,6 +611,10 @@ def _compute_disparity_hier(left, right, p: SGMParams):
         median_ksize=3, speckle_window_size=p.speckle_window_size,
         refine_range=R,
         pack=1,
+        # the coarse solve drives refine-window placement; its vertical
+        # coherence is cheap (1/s² pixels) and stays on even when the refine
+        # runs horizontal-only (paths=2)
+        paths=4,
     )
     lc = im.resize(left, (H // s, W // s))
     rc = im.resize(right, (H // s, W // s))

@@ -258,6 +258,18 @@ class TestLanePacked:
         np.testing.assert_array_equal(np.asarray(dp), np.asarray(dx))
         np.testing.assert_array_equal(np.asarray(vp), np.asarray(vx))
 
+    def test_paths2_parity_all_packs(self):
+        """Horizontal-only aggregation (paths=2): Pallas matches the XLA
+        two-scan definition bit-for-bit at every lane packing."""
+        left, right = self._pair(48, 120, shift=7)
+        for pack in (1, 2, 4):
+            p_x = SGMParams(num_disparities=16, pack=pack, paths=2, impl="xla")
+            p_p = dataclasses.replace(p_x, impl="pallas_interpret")
+            dx, vx = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_x)
+            dp, vp = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_p)
+            np.testing.assert_array_equal(np.asarray(dp), np.asarray(dx))
+            np.testing.assert_array_equal(np.asarray(vp), np.asarray(vx))
+
     def test_packed_matches_manual_halves(self):
         """The packed result equals per-half solves over a full-image census."""
         from stereovision_tpu.core import image as im
