@@ -44,9 +44,10 @@ def bench_tpu(left_np, right_np):
     # the production engine: hierarchical coarse-to-fine over the reference's
     # full 320-disparity range (full-search mode: SGMParams(mode="full")).
     # refine_range=32 runs the pack=4 lane-packed refine — faster than the
-    # 64-window AND more accurate on 3 of the 4 quality scenes
-    # (scripts/eval_quality.py --modes hier,hier_r32).
-    params = SGMParams(num_disparities=D, mode="hier", refine_range=32)
+    # 64-window AND more accurate on 3 of the 4 quality scenes; paths=2
+    # drops the refine's vertical sweep for a further 19% at ≤0.8% bad2 cost
+    # (scripts/eval_quality.py --modes hier_r32,hier_r32p2).
+    params = SGMParams(num_disparities=D, mode="hier", refine_range=32, paths=2)
     left = jnp.stack([jnp.asarray(left_np)] * BATCH)
     right = jnp.stack([jnp.asarray(right_np)] * BATCH)
     fn = jax.jit(lambda ls, rs: compute_disparity_batch(ls, rs, params))

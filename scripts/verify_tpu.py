@@ -182,6 +182,7 @@ def main():
         for label, p in (
             ("full", SGMParams(num_disparities=320, mode="full")),
             ("hier", SGMParams(num_disparities=320, mode="hier")),
+            ("hier_p2", SGMParams(num_disparities=320, mode="hier", paths=2)),
             ("hier_r64", SGMParams(num_disparities=320, mode="hier",
                                    refine_range=64)),
             ("hier2", SGMParams(num_disparities=320, mode="hier2")),

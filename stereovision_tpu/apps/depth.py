@@ -21,7 +21,12 @@ import numpy as np
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="stereovision_tpu.apps.depth")
     ap.add_argument("--calib", default="output")
-    ap.add_argument("--images", required=True)
+    src_g = ap.add_mutually_exclusive_group(required=True)
+    src_g.add_argument("--images", help="directory of left_*/right_* pairs")
+    src_g.add_argument("--videos", nargs=2, metavar=("LEFT", "RIGHT"),
+                       help="left/right video files (decoded via imageio-ffmpeg)")
+    ap.add_argument("--video-step", type=int, default=1,
+                    help="with --videos: process every Nth frame (the reference's SKIP_FRAMES lever)")
     ap.add_argument("--out", default="depth_captures")
     ap.add_argument("--num-disparities", type=int, default=320)
     ap.add_argument("--mode", choices=["full", "hier", "hier2"], default="full",
@@ -41,7 +46,7 @@ def main(argv=None):
 
     from stereovision_tpu.core import geometry as geom
     from stereovision_tpu.core import image as im
-    from stereovision_tpu.io.frames import PairedImageSource
+    from stereovision_tpu.io.frames import PairedImageSource, VideoSource
     from stereovision_tpu.io.store import CalibrationStore
     from stereovision_tpu.stereo import SGMParams, compute_disparity
 
@@ -63,7 +68,13 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
     import imageio.v2 as iio
 
-    src = PairedImageSource(args.images)
+    if args.videos:
+        src = zip(
+            VideoSource(args.videos[0], step=args.video_step),
+            VideoSource(args.videos[1], step=args.video_step),
+        )
+    else:
+        src = PairedImageSource(args.images)
     stats = []
     for i, (left, right) in enumerate(src):
         if args.limit and i >= args.limit:

@@ -93,8 +93,9 @@ class PairedImageSource:
 
 @dataclasses.dataclass
 class VideoSource:
-    """Frames from a video file via imageio's ffmpeg plugin (gated: raises a
-    clear error when the plugin/codec is unavailable in the image)."""
+    """Frames from a video file: imageio's ffmpeg plugin when present, else
+    cv2.VideoCapture (whose bundled codecs cover MJPG/AVI and more). Raises a
+    clear error only when neither backend can decode the file."""
 
     path: str | Path
     color: bool = False
@@ -107,11 +108,9 @@ class VideoSource:
             import imageio.v2 as iio
 
             reader = iio.get_reader(str(self.path))
-        except Exception as e:
-            raise RuntimeError(
-                f"video decoding unavailable for {self.path}: {e}; extract "
-                "frames to images and use PairedImageSource"
-            ) from e
+        except Exception as iio_err:
+            yield from self._iter_cv2(iio_err)
+            return
         try:
             for i, frame in enumerate(reader):
                 if i % self.step:
@@ -120,6 +119,45 @@ class VideoSource:
                 yield _to_bgr(f) if self.color else _to_gray(f)
         finally:
             reader.close()  # don't leak the ffmpeg subprocess on early exit
+
+    def _iter_cv2(self, iio_err):
+        try:
+            import cv2
+
+            cap = cv2.VideoCapture(str(self.path))
+            opened = cap.isOpened()
+        except Exception:
+            cap, opened = None, False
+        if not opened:
+            if cap is not None:
+                cap.release()
+            raise RuntimeError(
+                f"video decoding unavailable for {self.path} (imageio: "
+                f"{iio_err}; cv2.VideoCapture could not open it); extract "
+                "frames to images and use PairedImageSource"
+            ) from iio_err
+        try:
+            i = 0
+            got_any = False
+            while True:
+                ok, frame = cap.read()  # BGR
+                if not ok:
+                    break
+                got_any = True
+                if i % self.step == 0:
+                    if self.color:
+                        yield frame.astype(np.float32)  # already BGR
+                    else:
+                        yield _to_gray(frame[:, :, ::-1])
+                i += 1
+            if not got_any:
+                raise RuntimeError(
+                    f"video decoding unavailable for {self.path} (imageio: "
+                    f"{iio_err}; cv2 opened it but decoded no frames); "
+                    "extract frames to images and use PairedImageSource"
+                )
+        finally:
+            cap.release()
 
 
 @dataclasses.dataclass

@@ -269,3 +269,60 @@ class TestVideoSource:
 
         with pytest.raises(ValueError, match="step"):
             list(VideoSource(tmp_path / "x.mp4", step=0))
+
+    @staticmethod
+    def _write_avi(path, frames):
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(
+            str(path), cv2.VideoWriter_fourcc(*"MJPG"), 10, (w, h)
+        )
+        if not vw.isOpened():
+            pytest.skip("cv2 has no MJPG encoder in this build")
+        for f in frames:
+            vw.write(np.ascontiguousarray(np.broadcast_to(
+                f[:, :, None], f.shape + (3,)).astype(np.uint8)))
+        vw.release()
+
+    def test_mjpg_avi_decodes_via_cv2_fallback(self, tmp_path):
+        from stereovision_tpu.io import VideoSource
+
+        rng = np.random.default_rng(0)
+        frames = [rng.integers(0, 255, (48, 64)).astype(np.uint8) for _ in range(6)]
+        p = tmp_path / "seq.avi"
+        self._write_avi(p, frames)
+        out = list(VideoSource(p, step=2))
+        assert len(out) == 3
+        assert out[0].shape == (48, 64) and out[0].dtype == np.float32
+        # MJPG is lossy; gray values should still be close
+        assert np.abs(out[0] - frames[0]).mean() < 4.0
+
+    def test_depth_cli_video_source(self, synthetic_captures, tmp_path):
+        """--videos end-to-end: encode a rectified-ish stereo pair stream to
+        MJPG AVIs and run the depth CLI on them."""
+        import cv2
+
+        from stereovision_tpu.apps import calibrate as cal_app
+        from stereovision_tpu.apps import depth as depth_app
+
+        captures, _ = synthetic_captures
+        out = tmp_path / "out"
+        assert cal_app.main([
+            "universal", "--images", str(captures), "--board", "9x6",
+            "--square-cm", str(SQ), "--out", str(out),
+        ]) == 0
+        # build left/right videos from the capture pairs
+        lf = sorted(captures.glob("left_*.jpg"))[:3]
+        rf = sorted(captures.glob("right_*.jpg"))[:3]
+        lv, rv = tmp_path / "left.avi", tmp_path / "right.avi"
+        self._write_avi(lv, [cv2.imread(str(p), 0) for p in lf])
+        self._write_avi(rv, [cv2.imread(str(p), 0) for p in rf])
+        depth_out = tmp_path / "dv"
+        rc = depth_app.main([
+            "--calib", str(out), "--videos", str(lv), str(rv),
+            "--out", str(depth_out), "--num-disparities", "48",
+            "--mode", "hier", "--limit", "2",
+        ])
+        assert rc == 0
+        assert len(list(depth_out.glob("depth_*.png"))) == 2
