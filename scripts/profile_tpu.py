@@ -59,11 +59,13 @@ def main():
 
     p = SGMParams(num_disparities=D, mode="hier")
     pf = SGMParams(num_disparities=D, mode="full")
+    pp2 = SGMParams(num_disparities=D, mode="hier", refine_range=32, paths=2)
 
     stages = {}
 
-    # full pipeline, both modes
+    # full pipeline, both modes (hier_p2_total is the bench.py headline config)
     stages["hier_total"] = lambda: compute_disparity(left, right, p)
+    stages["hier_p2_total"] = lambda: compute_disparity(left, right, pp2)
     stages["full_total"] = lambda: compute_disparity(left, right, pf)
 
     # stage prefixes at full res (D=320 full mode)

@@ -73,6 +73,15 @@ def main():
     check("cost pack=4 (H,W,D)", c4_t[0], c4_i[0])
     check("cost pack=4 (W,H,D)", c4_t[1], c4_i[1])
 
+    # transposed=2 (the paths=2 production config: only the (W,H,D) layout is
+    # materialized — its store path must match the transposed=1 twin exactly)
+    c2only_t = sgm_pallas.cost_volume_planes(cw_t, cwm_t, W, D, d_valid=100,
+                                             max_cost=24.0, transposed=2)
+    check("cost transposed=2", c2only_t, c_i[1])
+    c42_t = sgm_pallas.cost_volume_planes(cw_t, cwm_t, W, D, d_valid=32,
+                                          max_cost=24.0, transposed=2, pack=4)
+    check("cost pack=4 transp=2", c42_t, c4_i[1])
+
     # dual aggregation both axes-of-volume orientations
     cost = jnp.asarray(rng.integers(0, 25, (H, W, D)).astype(np.int8))
     for gname, groups in (("", 1), (" groups=2", 2), (" groups=4", 4)):
@@ -159,13 +168,16 @@ def main():
         pass
     del k
     lf, rt = jnp.asarray(base[:, :W]), jnp.asarray(base[:, 8 : 8 + W])
-    for mode in ("full", "hier", "hier2"):
+    for label, mode, paths in (
+        ("full", "full", 4), ("hier", "hier", 4), ("hier2", "hier2", 4),
+        ("hier_p2", "hier", 2),
+    ):
         p = SGMParams(num_disparities=64, mode=mode, coarse_scale=2,
-                      refine_range=32)
+                      refine_range=32, paths=paths)
         d_t, v_t = compute_disparity(lf, rt, p)
         d_c, v_c = compute_disparity(lf, rt, dc.replace(p, impl="pallas_interpret"))
-        check(f"e2e {mode} disp", d_t, d_c, exact=False)
-        check(f"e2e {mode} valid", v_t, v_c)
+        check(f"e2e {label} disp", d_t, d_c, exact=False)
+        check(f"e2e {label} valid", v_t, v_c)
 
     if "--full" in sys.argv:
         # production shape, ground-truth check: constant-shift pair → the

@@ -409,11 +409,19 @@ def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
     # the cost kernel emits BOTH layouts in one sweep (the (W, H, D) copy is
     # just a different store order): the horizontal SGM paths then run as
     # axis-0 scans over the transposed volume — the axis-1 kernel's sublane
-    # staging made it 2-6× slower than axis 0
-    cost, cost_t = sgm_pallas.cost_volume_planes(
-        cl, crr, left.shape[-1], Dp, d_valid=D, min_d=p.min_disparity,
-        max_cost=float(n_bits), transposed=1, interpret=interpret,
-    )
+    # staging made it 2-6× slower than axis 0. With paths=2 the vertical sweep
+    # never runs, so only the transposed layout is materialized (transposed=2
+    # drops the (H, W, D) staging buffer and its stores from the kernel).
+    if p.paths == 2:
+        cost, cost_t = None, sgm_pallas.cost_volume_planes(
+            cl, crr, left.shape[-1], Dp, d_valid=D, min_d=p.min_disparity,
+            max_cost=float(n_bits), transposed=2, interpret=interpret,
+        )
+    else:
+        cost, cost_t = sgm_pallas.cost_volume_planes(
+            cl, crr, left.shape[-1], Dp, d_valid=D, min_d=p.min_disparity,
+            max_cost=float(n_bits), transposed=1, interpret=interpret,
+        )
     # per-direction path costs are ≤ n_bits + P2 — int8-exact for the default
     # census sizes, halving the write traffic of both dual sweeps
     vol_dt = jnp.int8 if (n_bits + p.p2) <= 127 else jnp.int16
@@ -506,10 +514,16 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str):
         interpret=interpret,
     )
     n_bits = p.census_ksize * p.census_wsize - 1
-    cost, cost_t = sgm_pallas.cost_volume_planes(
-        cl, crr, W, 128, d_valid=D, min_d=p.min_disparity,
-        max_cost=float(n_bits), transposed=1, pack=pk, interpret=interpret,
-    )
+    if p.paths == 2:  # vertical sweep never runs — skip the (H, W, D) layout
+        cost, cost_t = None, sgm_pallas.cost_volume_planes(
+            cl, crr, W, 128, d_valid=D, min_d=p.min_disparity,
+            max_cost=float(n_bits), transposed=2, pack=pk, interpret=interpret,
+        )
+    else:
+        cost, cost_t = sgm_pallas.cost_volume_planes(
+            cl, crr, W, 128, d_valid=D, min_d=p.min_disparity,
+            max_cost=float(n_bits), transposed=1, pack=pk, interpret=interpret,
+        )
     vol_dt = jnp.int8 if (n_bits + p.p2) <= 127 else jnp.int16
     dual = functools.partial(
         sgm_pallas.aggregate_dual, p1=p.p1, p2=p.p2, out_dtype=vol_dt,
