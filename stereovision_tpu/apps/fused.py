@@ -63,23 +63,25 @@ def main(argv=None):
         if out is None:
             continue
         fused = out["fused"]
+        mode = int(out["mode"])  # display-time sync, after dispatch
+        moving = bool(out["camera_moving"]) if not args.no_flow else False
         cmap = im.apply_colormap(fused.astype(jnp.uint8), "jet", bgr=False)
         annotated = draw_text(
             np.asarray(cmap, np.uint8),
             [
-                f"FUSED: {mode_text(out['mode'], pipe.fusion_params, not args.no_midas, not args.no_flow)}",
+                f"FUSED: {mode_text(mode, pipe.fusion_params, not args.no_midas, not args.no_flow)}",
                 f"occlusion: {out['occlusion']}"
                 + ("" if pipe.hysteresis.stereo_enabled else "  [stereo OFF]"),
-                ("CAM MOVING" if out["camera_moving"] else "STATIC")
+                ("CAM MOVING" if moving else "STATIC")
                 if not args.no_flow else "",
             ],
         )
         iio.imwrite(out_dir / f"fused_{i:04d}.png", annotated)
         np.savez(out_dir / f"fused_{i:04d}.npz", fused=np.asarray(fused),
                  conf=np.asarray(out["confidence"]), meters=np.asarray(out["meters"]),
-                 mode=out["mode"], occlusion=out["occlusion"])
+                 mode=mode, occlusion=out["occlusion"])
         n_out += 1
-        print(f"frame {i}: occl={out['occlusion']} mode={out['mode']} "
+        print(f"frame {i}: occl={out['occlusion']} mode={mode} "
               f"{(time.perf_counter()-t0)*1000:.0f} ms")
     print(json.dumps({"frames": n_out, **timer.report()}))
     return 0

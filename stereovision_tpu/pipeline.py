@@ -59,7 +59,10 @@ class DepthPipeline:
         self.max_depth = max_depth
 
         @functools.partial(jax.jit, static_argnames=())
-        def _run(left, right, mx1, my1, mx2, my2):
+        def _run(left, right, mx1, my1, mx2, my2, min_d, max_d):
+            # min/max depth are TRACED operands: the reference adjusts them
+            # live in 0.1 m steps (depth_map.py:1245-1256) — runtime changes
+            # via set_depth_range cost no recompilation
             h, w = self.proc_size[1], self.proc_size[0]
             if left.shape != (h, w):
                 left = im.resize(left, (h, w))
@@ -68,11 +71,23 @@ class DepthPipeline:
             rr = im.remap(right, mx2, my2)
             disp, conf = disparity_with_confidence(lr, rr, params)
             depth = geom.disparity_to_depth(disp, self.focal, self.baseline_m)
-            depth = jnp.clip(depth, min_depth, max_depth)
+            depth = jnp.clip(depth, min_d, max_d)
             depth = jnp.where(conf > 0, depth, 0.0)
             return disp, conf, depth
 
         self._run = _run
+
+        @jax.jit
+        def _run_batch(lefts, rights, mx1, my1, mx2, my2, min_d, max_d):
+            # sequential on-device over the batch (lax.map) — same rationale
+            # as stereo.compute_disparity_batch: one frame's volumes live at
+            # a time, per-dispatch overhead amortized across the batch
+            return jax.lax.map(
+                lambda p: _run(p[0], p[1], mx1, my1, mx2, my2, min_d, max_d),
+                (lefts, rights),
+            )
+
+        self._run_batch = _run_batch
 
     @classmethod
     def from_store(cls, calib_dir, num_disparities=320, mode="full",
@@ -89,9 +104,28 @@ class DepthPipeline:
 
     def __call__(self, left, right) -> DepthResult:
         disp, conf, depth = self._run(
-            jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32), *self._maps
+            jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32),
+            *self._maps, jnp.float32(self.min_depth), jnp.float32(self.max_depth)
         )
         return DepthResult(disp, conf, depth)
+
+    def batch(self, lefts, rights) -> DepthResult:
+        """Throughput form: (B, H, W) stacks → batched DepthResult (leading
+        frame axis on every field). One dispatch for the whole batch."""
+        disp, conf, depth = self._run_batch(
+            jnp.asarray(lefts, jnp.float32), jnp.asarray(rights, jnp.float32),
+            *self._maps, jnp.float32(self.min_depth), jnp.float32(self.max_depth)
+        )
+        return DepthResult(disp, conf, depth)
+
+    def set_depth_range(self, min_depth=None, max_depth=None):
+        """Live-tune the metric clip window (reference depth_map.py:1245-1256);
+        traced operands — no recompilation."""
+        if min_depth is not None:
+            self.min_depth = float(min_depth)
+        if max_depth is not None:
+            self.max_depth = float(max_depth)
+        return self.min_depth, self.max_depth
 
     def point_cloud(self, result: DepthResult, Q) -> jax.Array:
         return geom.reproject_image_to_3d(result.disparity, jnp.asarray(Q))
@@ -149,6 +183,11 @@ class FusedPipeline:
         )
         self.flow_params = FlowDepthParams()
         self._frame = 0
+        # occlusion scores are dispatched on one occlusion frame and consumed
+        # on the NEXT (the readback is then already materialized — no blocking
+        # sync in the steady-state loop; the 5-frame hysteresis tolerates the
+        # one-cycle decision lag)
+        self._pending_scores = None
 
     @classmethod
     def from_store(cls, calib_dir, **kw):
@@ -156,6 +195,14 @@ class FusedPipeline:
 
         cal = CalibrationStore(calib_dir).load("stereo_calibration_data")
         return cls(cal, **kw)
+
+    def set_params(self, **kw):
+        """Live-tune any FusionParams field (the daemon's {"cmd": "set"} and
+        the reference's fusion hotkeys, fused_depth_map.py:3158-3290).
+        FusionParams is a static jit argument, so an unseen combination
+        compiles once and is then cached."""
+        self.fusion_params = dataclasses.replace(self.fusion_params, **kw)
+        return self.fusion_params
 
     def __call__(self, left, right, t_now: float):
         from stereovision_tpu.fusion import (
@@ -170,10 +217,14 @@ class FusedPipeline:
         rr = im.remap(im.resize(jnp.asarray(right, jnp.float32), (h, w)), *self.depth_pipe._maps[2:])
 
         if self._frame % 2 == 0:
-            ls, rs = occlusion_scores(lr, rr)
-            state = self.hysteresis.update(classify_occlusion(float(ls), float(rs)))
-        else:
-            state = self.hysteresis.state
+            # consume the PREVIOUS occlusion dispatch (its values are ready —
+            # a whole frame has executed since), then dispatch this frame's
+            # scores asynchronously; the float() below does not block.
+            if self._pending_scores is not None:
+                ls, rs = self._pending_scores
+                self.hysteresis.update(classify_occlusion(float(ls), float(rs)))
+            self._pending_scores = occlusion_scores(lr, rr)
+        state = self.hysteresis.state
         self._frame += 1
         stereo_on = self.use_stereo and self.hysteresis.stereo_enabled
 
@@ -192,30 +243,36 @@ class FusedPipeline:
             )
 
         flow_norm = None
-        moving = False
+        moving = jnp.asarray(False)
         if self.flow_state is not None:
             src_img = rr if state == "left" else lr
             self.flow_state, fd, has, mv = flow_depth_step(
                 self.flow_state, src_img, jnp.float32(t_now), self.flow_params
             )
-            moving = bool(mv)
-            if bool(has):
-                ref = stereo_norm if stereo_norm is not None else fd
-                flow_norm = normalize_to_stereo_range(fd, ref)
+            # ``has``/``mv`` stay on device: flow participation is gated by a
+            # traced bool inside the fusion kernel (fuse ANDs the flow fills
+            # with camera_moving), so no bool() sync per frame
+            moving = mv
+            ref = stereo_norm if stereo_norm is not None else fd
+            flow_norm = normalize_to_stereo_range(fd, ref)
+            moving = moving & has
 
         have = (stereo_norm is not None, midas_cal is not None, flow_norm is not None)
         if not any(have):
             return None
         fused, conf, mode = fuse_depth_maps(
             stereo_norm, stereo_conf, midas_cal, midas_conf, flow_norm,
-            jnp.asarray(moving), self.fusion_params,
+            moving, self.fusion_params,
             have_stereo=have[0], have_midas=have[1], have_flow=have[2],
         )
         meters = fused_to_meters(
             fused, self.depth_pipe.focal, self.depth_pipe.baseline_m * 100.0,
             num_disparities=float(self.sgm.num_disparities),
         )
+        # "mode"/"camera_moving" are DEVICE scalars: reading them costs a sync,
+        # so consumers coerce (int()/bool()) only where they actually display
+        # or serialize — the steady-state loop itself never blocks.
         return {
             "fused": fused, "confidence": conf, "meters": meters,
-            "mode": int(mode), "occlusion": state, "camera_moving": moving,
+            "mode": mode, "occlusion": state, "camera_moving": moving,
         }
