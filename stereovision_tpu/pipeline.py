@@ -39,7 +39,15 @@ class DepthPipeline:
     """Rectification + disparity + metric depth as one jitted call."""
 
     def __init__(self, cal: dict, params: SGMParams, min_depth=0.2, max_depth=4.0,
-                 proc_scale: float = 1.0):
+                 proc_scale: float = 1.0, exact_speckle: bool = False):
+        # exact_speckle: replace the on-device windowed speckle approximation
+        # with the exact connected-component filter (native/speckle.cpp,
+        # cv2.filterSpeckles semantics). Host-side + blocking — for CPU/offline
+        # pipelines where exact cv2 parity matters more than async streaming.
+        self._exact_speckle = exact_speckle and params.speckle_window_size > 0
+        self._speckle_params = params
+        if self._exact_speckle:
+            params = dataclasses.replace(params, speckle_window_size=0)
         size = tuple(int(v) for v in cal["img_size"])
         self.size = size
         if proc_scale != 1.0:
@@ -107,6 +115,13 @@ class DepthPipeline:
             jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32),
             *self._maps, jnp.float32(self.min_depth), jnp.float32(self.max_depth)
         )
+        if self._exact_speckle:
+            from stereovision_tpu.stereo.sgm import exact_speckle_postpass
+
+            d, valid = exact_speckle_postpass(disp, self._speckle_params)
+            disp = jnp.asarray(d)
+            conf = jnp.where(jnp.asarray(valid), conf, 0.0)
+            depth = jnp.where(jnp.asarray(valid), depth, 0.0)
         return DepthResult(disp, conf, depth)
 
     def batch(self, lefts, rights) -> DepthResult:

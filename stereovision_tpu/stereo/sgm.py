@@ -843,6 +843,31 @@ def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = Fals
     return disp, valid, best
 
 
+def exact_speckle_postpass(disp, params: SGMParams):
+    """Host-side EXACT cv2.filterSpeckles post-pass (4-connected components,
+    native/speckle.cpp) as an alternative to the windowed on-device
+    approximation of :func:`_speckle_suppress`.
+
+    Input: a finished disparity map (numpy or device, float px) whose invalid
+    pixels already carry ``min_disparity − 1``; returns (disp, valid) with
+    components ≤ speckle_window_size also set to ``min_disparity − 1``. Use
+    with ``speckle_window_size=0`` engine params to replace (not stack) the
+    approximation. Blocks on the device value — meant for CPU pipelines and
+    offline evaluation, not the async streaming path.
+    """
+    import numpy as np
+
+    from stereovision_tpu.ops import native
+
+    d = np.asarray(disp, np.float32)
+    sentinel = float(params.min_disparity) - 1.0
+    if params.speckle_window_size > 0 and native.available():
+        d, _ = native.filter_speckles(
+            d, sentinel, params.speckle_window_size, params.speckle_range
+        )
+    return d, d > sentinel
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def compute_disparity_batch(lefts, rights, params: SGMParams = SGMParams()):
     """Throughput form: (B, H, W) pairs → batched (disparity, valid).

@@ -56,6 +56,31 @@ class TestDepthPipeline:
         z = z[z > 0]
         assert abs(np.median(z) - 1.5625) < 0.05, np.median(z)
 
+    def test_exact_speckle_option(self, rig_calibration):
+        """exact_speckle=True swaps the windowed approximation for the native
+        connected-component filter (cv2.filterSpeckles semantics) and removes
+        small floating islands the same way."""
+        from stereovision_tpu.ops import native
+        from stereovision_tpu.pipeline import DepthPipeline
+        from stereovision_tpu.stereo import SGMParams
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        left, right = stereo_pair(disp=8)
+        p = SGMParams(num_disparities=32, impl="xla",
+                      speckle_window_size=100, speckle_range=2.0)
+        pipe = DepthPipeline(rig_calibration, p, exact_speckle=True)
+        res = pipe(left, right)
+        d = np.asarray(res.disparity)
+        c = np.asarray(res.confidence)
+        good = d[20:-20, 40:-20][c[20:-20, 40:-20] > 0]
+        assert good.size and abs(np.median(good) - 8) < 0.5
+        # the engine itself ran with the windowed filter OFF
+        assert pipe.params.speckle_window_size == 0
+        assert pipe._speckle_params.speckle_window_size == 100
+        # invalid pixels carry zero confidence and zero depth
+        assert (np.asarray(res.depth_m)[c == 0] == 0).all()
+
     def test_point_cloud(self, rig_calibration):
         from stereovision_tpu.pipeline import DepthPipeline
         from stereovision_tpu.stereo import SGMParams
