@@ -21,15 +21,39 @@ from stereovision_tpu.core import image as im
 from stereovision_tpu.models.midas import MidasSmall
 
 
-def create_model(seed: int = 0, net_hw=(256, 256), pretrained: bool = True):
+def create_model(seed: int = 0, net_hw=(256, 256), pretrained: bool = True,
+                 arch: str = "small", torch_state_dict=None):
     """Build the model; load the bundled synthetic-pretrained weights when
     available (``models/pretrained/midas_synthetic.msgpack``, trained offline by
     ``models.train_synthetic`` — the torch-hub download the reference performs
-    at runtime is unavailable in this deployment; see
-    models.midas.load_torch_state_dict for porting real MiDaS weights).
+    at runtime is unavailable in this deployment).
+
+    ``arch``:
+    - "small" (default): the compact MidasSmall-class net with bundled
+      synthetic weights.
+    - "midas_v21_small": the EXACT MiDaS v2.1 small architecture
+      (models.midas_v21); pass the real hub checkpoint via
+      ``torch_state_dict`` (a state_dict mapping or a .pt path) and it is
+      validated against the vendored manifest and loaded by name — the
+      drop-in path for the day network access exists
+      (reference fused_depth_map.py:1091-1098).
     """
     from pathlib import Path
 
+    if arch == "midas_v21_small":
+        from stereovision_tpu.models.midas_v21 import create_v21, load_v21_state_dict
+
+        model, variables = create_v21(seed, net_hw)
+        if torch_state_dict is not None:
+            if isinstance(torch_state_dict, (str, Path)):
+                import torch
+
+                sd = torch.load(torch_state_dict, map_location="cpu")
+                torch_state_dict = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+            variables = load_v21_state_dict(variables, torch_state_dict)
+        return model, variables
+    if arch != "small":
+        raise ValueError(f"unknown mono-depth arch '{arch}'")
     model = MidasSmall()
     rng = jax.random.PRNGKey(seed)
     variables = model.init(rng, jnp.zeros((1, *net_hw, 3), jnp.float32))

@@ -176,7 +176,10 @@ class FusedPipeline:
     of apps/fused.py."""
 
     def __init__(self, cal: dict, scale: float = 0.33, use_stereo=True,
-                 use_midas=True, use_flow=True, fusion_params=None):
+                 use_midas=True, use_flow=True, fusion_params=None,
+                 midas_arch: str = "small", midas_checkpoint=None):
+        # midas_arch="midas_v21_small" + midas_checkpoint=<hub .pt path> runs
+        # the exact reference network with real weights (models.midas_v21)
         from stereovision_tpu.fusion import FusionParams, OcclusionHysteresis
         from stereovision_tpu.mono import FlowDepthParams, flow_depth_init
         from stereovision_tpu.mono.nn import create_model
@@ -192,7 +195,9 @@ class FusedPipeline:
         self.use_flow = use_flow
         self.model = self.variables = None
         if use_midas:
-            self.model, self.variables = create_model()
+            self.model, self.variables = create_model(
+                arch=midas_arch, torch_state_dict=midas_checkpoint
+            )
         self.flow_state = (
             flow_depth_init((self.proc[1], self.proc[0])) if use_flow else None
         )
