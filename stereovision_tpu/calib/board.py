@@ -241,13 +241,24 @@ def detect_chessboard(
     """
     gray_np = np.asarray(gray, np.float32)
     gray_j = jnp.asarray(gray_np)
-    resp = np.asarray(corner_response(gray_j))
     w, h = pattern
-    cands = _nms_candidates(resp, w * h + max_extra)
-    cands = _ring_filter(gray_np, cands)
-    if len(cands) < w * h:
-        return False, None
-    ordered = _order_grid(cands, pattern)
+
+    def attempt(img_np, img_j):
+        resp = np.asarray(corner_response(img_j))
+        cands = _nms_candidates(resp, w * h + max_extra)
+        cands = _ring_filter(img_np, cands)
+        if len(cands) < w * h:
+            return None
+        return _order_grid(cands, pattern)
+
+    ordered = attempt(gray_np, gray_j)
+    if ordered is None:
+        # low-contrast / unevenly-lit fallback: retry on a locally contrast-
+        # normalized image (the reference's ADAPTIVE_THRESH + NORMALIZE_IMAGE
+        # re-detect, stereo_calibration.py:147-158); subpixel refinement still
+        # runs on the ORIGINAL image below — normalization shifts gradients.
+        norm_j = im.local_normalize(gray_j)
+        ordered = attempt(np.asarray(norm_j), norm_j)
     if ordered is None:
         return False, None
     refined = np.asarray(

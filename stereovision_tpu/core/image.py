@@ -249,6 +249,23 @@ def box_filter(img: jax.Array, ksize: int) -> jax.Array:
     return window_sum(img, ksize) * (1.0 / (ksize * ksize))
 
 
+def local_normalize(
+    img: jax.Array, block: int = 33, target_std: float = 48.0, mid: float = 127.5
+) -> jax.Array:
+    """CLAHE-style adaptive contrast normalization: subtract the local mean
+    and rescale by the local standard deviation over a ``block`` window.
+
+    Plays the role of cv2.findChessboardCorners' ADAPTIVE_THRESH +
+    NORMALIZE_IMAGE fallback (reference stereo_calibration.py:147-158):
+    low-contrast / unevenly-lit boards come out with uniform local contrast
+    so the saddle response and ring filter see full-strength corners."""
+    x = img.astype(jnp.float32)
+    mu = box_filter(x, block)
+    var = jnp.maximum(box_filter(x * x, block) - mu * mu, 0.0)
+    sd = jnp.sqrt(var)
+    return jnp.clip(mid + (x - mu) * (target_std / (sd + 2.0)), 0.0, 255.0)
+
+
 def window_sum(img: jax.Array, ksize: int) -> jax.Array:
     """Un-normalized k×k window sum via two 1-D passes (replicate borders).
 
