@@ -69,6 +69,20 @@ class SGMParams:
     # "hier" invalidates, at ~1.6× hier cost (still ≫ full-search speed)
     mode: str = "full"
     coarse_scale: int = 4
+    # hier2 cross-window arbitration: candidates from the two windows are
+    # compared by census Hamming distance against the ORIGINAL right image —
+    # window-independent data evidence (an aggregated-cost comparison between
+    # windows is noisy: a window missing the true match can hallucinate a
+    # smooth surface whose path costs beat the true window's). census_kill
+    # additionally invalidates candidates whose data evidence is noise-level
+    # (torn-warp hallucinations); 0 disables the kill, not the arbitration.
+    census_kill: float = 10.0
+    # fill the remaining invalid pixels from their nearest valid neighbor
+    # (4-direction, ties to the smaller = farther disparity — the occlusion
+    # convention) + 5x5 median: every pixel then carries a best-effort value
+    # and the returned mask is all-true. Off by default (cv2 SGBM leaves
+    # invalids at min_disparity-1).
+    fill_invalid: bool = False
     # 32 (the pack=4 refine) measured BETTER than 64 on 3/4 quality scenes in
     # hier and on 4/4 in hier2 (narrower windows exclude more wrong matches)
     # while running ~1.4x faster; plain hier on large-discontinuity scenes
@@ -464,7 +478,20 @@ def _disparity_core(left, right, params: SGMParams, impl: str):
     return disp, valid, best
 
 
-def _disparity_core_packed(left, right, params: SGMParams, impl: str):
+def _pack_pad(img, pk: int):
+    """Replicate-pad rows so H divides into pack strips of block-multiple
+    height (the packed cost kernel's layout contract)."""
+    H = img.shape[0]
+    bh = 8
+    Hh = -(-(-(-H // pk)) // bh) * bh
+    Hp = pk * Hh
+    if Hp != H:
+        img = jnp.concatenate([img, jnp.repeat(img[-1:], Hp - H, axis=0)], axis=0)
+    return img
+
+
+def _disparity_core_packed(left, right, params: SGMParams, impl: str,
+                           cl_pre=None):
     """Lane-packed core (pack ∈ {2, 4}): pack horizontal strips of the image
     travel as independent (128/pack)-lane disparity groups of one
     (H/pack, W, 128) pseudo-volume — cost, aggregation, and WTA traffic all
@@ -473,19 +500,22 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str):
     else is exact. The XLA path runs the strips separately at D ≤ 128/pack
     over a shared full-image census — bit-identical to the packed kernels
     (parity-tested).
+
+    ``cl_pre``: optional precomputed census of the (pack-padded) left image in
+    the impl's native format — hier2 shares one left census across its two
+    refine passes instead of computing it twice.
     """
     H, W = left.shape
     pk = params.pack
     dg = 128 // pk  # lanes per strip's disparity group
-    bh = 8  # cost-kernel row block: the strip height must be a block multiple
-    Hh = -(-(-(-H // pk)) // bh) * bh
-    Hp = pk * Hh
-    if Hp != H:  # replicate-pad the bottom rows (both impls see the same rows)
-        left = jnp.concatenate([left, jnp.repeat(left[-1:], Hp - H, axis=0)], axis=0)
-        right = jnp.concatenate([right, jnp.repeat(right[-1:], Hp - H, axis=0)], axis=0)
+    left = _pack_pad(left, pk)
+    right = _pack_pad(right, pk)
+    Hp = left.shape[0]
+    Hh = Hp // pk
 
     if impl == "xla":
-        cl = im.census_transform(left, params.census_ksize, params.census_wsize)
+        cl = cl_pre if cl_pre is not None else im.census_transform(
+            left, params.census_ksize, params.census_wsize)
         cr = im.census_transform(right, params.census_ksize, params.census_wsize)
         parts = []
         for g in range(pk):
@@ -506,7 +536,7 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str):
     interpret = impl == "pallas_interpret"
     p = params
     D = p.num_disparities  # ≤ 128/pack: one lane group per strip
-    cl = sgm_pallas.census_words(
+    cl = cl_pre if cl_pre is not None else sgm_pallas.census_words(
         left, p.census_ksize, p.census_wsize, interpret=interpret
     )
     crr = sgm_pallas.census_words(
@@ -572,9 +602,9 @@ def compute_disparity(left: jax.Array, right: jax.Array, params: SGMParams = SGM
     return _compute_full(left, right, params)[:2]
 
 
-def _compute_full(left, right, params: SGMParams):
+def _compute_full(left, right, params: SGMParams, cl_pre=None):
     """Full-search pipeline; returns (disp, valid, best aggregated cost) —
-    the cost is used by hier2's cross-window arbitration."""
+    the cost is used by hier2's cross-window arbitration (cost tiebreak)."""
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
     impl = _resolve_impl(params.impl)
@@ -582,7 +612,8 @@ def _compute_full(left, right, params: SGMParams):
         assert params.pack in (2, 4) and params.num_disparities <= 128 // params.pack, (
             "lane packing needs num_disparities ≤ 128/pack"
         )
-        disp, valid, best = _disparity_core_packed(left, right, params, impl)
+        disp, valid, best = _disparity_core_packed(left, right, params, impl,
+                                                   cl_pre=cl_pre)
     else:
         disp, valid, best = _disparity_core(left, right, params, impl)
     valid = _speckle_suppress(disp, valid, params)
@@ -665,7 +696,10 @@ def _compute_disparity_hier(left, right, p: SGMParams):
     )
     disp_c = jnp.where(valid_c, disp_c, fill)
     disp_c = im.median_blur(disp_c, 5)
-    d_up = im.resize(disp_c, (H, W)) * s
+    # exact column ratio, not s: W//s rounds down, so the true scale can be
+    # up to ~0.5% above s (1280/426 = 3.005) — at d≈300 that half-pixel-per-
+    # hundred bias would silently eat the window margin
+    d_up = im.resize(disp_c, (H, W)) * (W / (W // s))
 
     # Window base = horizontal min-envelope (erosion radius R) of d_up minus a
     # margin. The cost at (x, i) samples the warp at x−i whose shift is
@@ -686,19 +720,32 @@ def _compute_disparity_hier(left, right, p: SGMParams):
         env = jnp.minimum(env, jnp.minimum(left_sh, right_sh))
         k *= 2
     two_pass = p.mode == "hier2"
+    # vertical envelope radius: erosion/dilation over d_up's vertical smear
+    # (coarse blur + upsample ramp spans ~2·s rows; the radius covers it with
+    # headroom). Measured at s=3 on the quality scenes: radius 8 beats the old
+    # 4·s = 12 — wider vertical erosion displaces window A over whole bands
+    # below horizontal object edges faster than it protects them.
+    v_rad = 2 * s + 2
     if two_pass:
-        # vertical erosion over d_up's vertical smear (~4·s rows): rows near a
-        # horizontal object edge inherit a contaminated-high d_up from the
-        # object, lifting the window bottom above the far surface — window B
+        # vertical erosion over d_up's vertical smear: rows near a horizontal
+        # object edge inherit a contaminated-high d_up from the object,
+        # lifting the window bottom above the far surface — window B
         # (vertically dilated) re-covers the near surface on those rows.
         # Plain hier keeps the raw envelope: with no second window, the
         # erosion would trade near-surface coverage for far-surface coverage.
-        env = _erode_rows(env, 4 * s, jnp.minimum)
+        env = _erode_rows(env, v_rad, jnp.minimum)
     shift = jnp.clip(
         jnp.round(env - margin), p.min_disparity, p.min_disparity + p.num_disparities - R
     )
+    impl = _resolve_impl(p.impl)
+    cl_pre = None
+    if two_pass and R <= 64:
+        # both refine passes census the SAME left image — compute it once
+        # (the packed cores pad rows identically for a fixed pack)
+        pk = 4 if R <= 32 else 2
+        cl_pre = _census_words_for(_pack_pad(left, pk), p, impl)
     disp, valid, cost_a = _refine_with_shift(
-        left, right, shift, p, mask_seams=two_pass
+        left, right, shift, p, mask_seams=two_pass, cl_pre=cl_pre
     )
 
     if two_pass:
@@ -727,23 +774,43 @@ def _compute_disparity_hier(left, right, p: SGMParams):
         # vertical dilation (mirror of window A's vertical erosion): rows just
         # past a horizontal object edge must still reach the object's
         # disparity while d_up's vertical ramp is mid-transition
-        env_hi = _erode_rows(env_hi, 4 * s, jnp.maximum)
+        env_hi = _erode_rows(env_hi, v_rad, jnp.maximum)
         shift_b = jnp.clip(
             jnp.round(env_hi + margin) - (R - 1),
             p.min_disparity, p.min_disparity + p.num_disparities - R,
         )
         disp_b, valid_b, cost_b = _refine_with_shift(
-            left, right, shift_b, p, mask_seams=True
+            left, right, shift_b, p, mask_seams=True, cl_pre=cl_pre
         )
-        # merge: fill where A is invalid; where BOTH windows are confident but
-        # DISAGREE, the lower aggregated matching cost wins — a window that
-        # does not contain the true match can hallucinate a smooth consistent
-        # surface (the LR diagonal of the same volume agrees with it), but its
-        # data term is noise-level while the true window's is near zero
+        # merge. Arbitration between the windows runs on census Hamming
+        # distance against the ORIGINAL right image at each candidate — a
+        # window that does not contain the true match can hallucinate a
+        # smooth consistent surface (the LR diagonal of the same volume
+        # agrees with it, and with the horizontal-only path family its
+        # aggregated cost often beats the true window's), but its data
+        # evidence vs the real image is noise-level while the true match's is
+        # near zero. Aggregated cost only breaks near-ties. census_kill
+        # additionally drops ANY candidate with noise-level evidence.
+        cl_arb = (
+            cl_pre if cl_pre is not None else _census_words_for(left, p, impl)
+        )
+        cr_arb = _census_words_for(right, p, impl)
+        cd_a = _census_distance(cl_arb, cr_arb, disp, p, impl)
+        cd_b = _census_distance(cl_arb, cr_arb, disp_b, p, impl)
+        if p.census_kill > 0:
+            valid = valid & (cd_a <= p.census_kill)
+            valid_b = valid_b & (cd_b <= p.census_kill)
         disagree = jnp.abs(disp_b - disp) > 2.0
-        take_b = valid_b & ((~valid) | (disagree & (cost_b < cost_a)))
+        better_b = jnp.where(
+            jnp.abs(cd_b - cd_a) > 1.0, cd_b < cd_a, cost_b < cost_a
+        )
+        take_b = valid_b & ((~valid) | (disagree & better_b))
         disp = jnp.where(take_b, disp_b, disp)
         valid = valid | valid_b
+        disp = jnp.where(valid, disp, float(p.min_disparity) - 1.0)
+    if p.fill_invalid:
+        disp = _nearest4_fill(disp, valid, p)
+        valid = jnp.ones_like(valid)
     return disp, valid
 
 
@@ -759,7 +826,94 @@ def _erode_rows(x, radius: int, op):
     return x
 
 
-def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = False):
+def _census_words_for(img, p: SGMParams, impl: str):
+    """Census of an original image in the impl's native format (the packed
+    cores' ``cl_pre`` and the hier2 arbitration's inputs): Pallas
+    words-leading (nw, H, Wp) int32, or XLA (H, W, nw)."""
+    if impl == "xla":
+        return im.census_transform(img, p.census_ksize, p.census_wsize)
+    from stereovision_tpu.ops import sgm_pallas
+
+    return sgm_pallas.census_words(
+        img, p.census_ksize, p.census_wsize,
+        interpret=(impl == "pallas_interpret"),
+    )
+
+
+def _census_distance(cl, cr, disp, p: SGMParams, impl: str):
+    """Hamming distance between the left census and the right census at each
+    pixel's CANDIDATE disparity — data evidence against the TRUE right image,
+    independent of any warp window (a torn-warp hallucination scores noise
+    level here even though the warped content matched). cl/cr from
+    :func:`_census_words_for`; rows beyond disp's height (pack padding) are
+    ignored."""
+    H, W = disp.shape
+    md = jnp.clip(jnp.round(disp).astype(jnp.int32), 0,
+                  jnp.arange(W, dtype=jnp.int32)[None, :])
+    if impl == "xla":
+        clw = cl[:H]
+        crw = cr[:H]
+        src = jnp.arange(W, dtype=jnp.int32)[None, :] - md
+        crs = jnp.take_along_axis(crw, src[..., None], axis=1)
+        return jnp.sum(
+            im.popcount32(clw ^ crs).astype(jnp.float32), axis=-1
+        )
+    from stereovision_tpu.ops import sgm_pallas
+
+    interpret = impl == "pallas_interpret"
+    dist = None
+    nw = cl.shape[0]
+    max_off = p.min_disparity + p.num_disparities
+    for w in range(nw):
+        crs = sgm_pallas.shift_gather(
+            cr[w, :H, :W], md, max_off, block_s=32, assume_clipped=True,
+            interpret=interpret,
+        )
+        d = jax.lax.population_count(cl[w, :H, :W] ^ crs).astype(jnp.float32)
+        dist = d if dist is None else dist + d
+    return dist
+
+
+def _nearest4_fill(disp, valid, p: SGMParams):
+    """Inpaint invalid pixels from the nearest valid neighbor along the 4
+    axis directions (min distance wins; ties prefer the smaller = farther
+    disparity, the occlusion-fill convention), then smooth the filled pixels
+    with a 5×5 median of the filled map."""
+    H, W = disp.shape
+    BIG = jnp.int32(1 << 20)
+    fallback = jnp.sum(jnp.where(valid, disp, 0.0)) / (
+        jnp.sum(valid.astype(jnp.float32)) + 1e-6
+    )
+    best_val = jnp.full(disp.shape, fallback, jnp.float32)
+    best_dist = jnp.full(disp.shape, BIG, jnp.int32)
+
+    def along(d, v, axis):
+        n = d.shape[axis]
+        ci = jnp.arange(n, dtype=jnp.int32)
+        ci = ci[:, None] if axis == 0 else ci[None, :]
+        li = jax.lax.cummax(jnp.where(v, ci, -1), axis=axis)
+        has = li >= 0
+        val = jnp.take_along_axis(d, jnp.clip(li, 0, n - 1), axis=axis)
+        dist = jnp.where(has, ci - li, BIG)
+        return val, dist
+
+    for axis in (0, 1):
+        for flip in (False, True):
+            d = jnp.flip(disp, axis) if flip else disp
+            v = jnp.flip(valid, axis) if flip else valid
+            val, dist = along(d, v, axis)
+            if flip:
+                val, dist = jnp.flip(val, axis), jnp.flip(dist, axis)
+            take = (dist < best_dist) | ((dist == best_dist) & (val < best_val))
+            best_val = jnp.where(take, val, best_val)
+            best_dist = jnp.where(take, dist, best_dist)
+    filled = jnp.where(valid, disp, best_val)
+    med = im.median_blur(filled, 5)
+    return jnp.where(valid, disp, med)
+
+
+def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = False,
+                       cl_pre=None):
     """One hier refine pass: warp the right image by the integer ``shift``
     field, run a refine_range-window full search, and undo the shift.
     Returns (disp float32 px with invalid = min_disparity − 1, valid).
@@ -800,7 +954,8 @@ def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = Fals
         p, mode="full", num_disparities=R, min_disparity=0,
         pack=4 if R <= 32 else (2 if R <= 64 else 1),
     )
-    disp_r, valid, best = _compute_full(left, warped_right, refine_p)
+    disp_r, valid, best = _compute_full(left, warped_right, refine_p,
+                                        cl_pre=cl_pre)
     # cost(x, i) compared left[x] against warped_right[x−i] =
     # right[(x−i) − shift(x−i)], so the recovered disparity is
     # disp(x) = dr(x) + shift(x − dr(x)) — the shift field travels with the

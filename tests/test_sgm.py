@@ -269,6 +269,56 @@ class TestHier2:
         ok2 = v2[core] & (np.abs(d2[core] - box_d) < 1.0)
         assert ok2.mean() > ok1.mean() + 0.3, (ok1.mean(), ok2.mean())
 
+    def test_fill_invalid_inpaints_and_reports_full_validity(self):
+        """fill_invalid=True: remaining holes (LR-killed occlusions, seam
+        masks) are inpainted from the nearest valid neighbor (ties to the
+        farther disparity) and the mask comes back all-true."""
+        import dataclasses
+
+        left, right, box, d_box, d_bg = self._big_jump_scene()
+        p = SGMParams(num_disparities=64, mode="hier2", coarse_scale=2,
+                      refine_range=32)
+        d0, v0 = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
+        pf = dataclasses.replace(p, fill_invalid=True)
+        d1, v1 = compute_disparity(jnp.asarray(left), jnp.asarray(right), pf)
+        d0, v0, d1, v1 = map(np.asarray, (d0, v0, d1, v1))
+        assert v1.all()
+        assert (~v0).any()  # the scene does produce holes to fill
+        # valid pixels are untouched; filled pixels take plausible values
+        np.testing.assert_allclose(d1[v0], d0[v0], atol=1e-5)
+        assert d1.min() >= 0.0 and d1.max() <= 64.0
+
+    def test_census_distance_separates_true_from_false_matches(self):
+        """The hier2 arbitration signal: census distance vs the ORIGINAL
+        right image is near zero at the true disparity and noise-level at a
+        wrong one (both impl formats agree)."""
+        from stereovision_tpu.stereo.sgm import (
+            _census_distance, _census_words_for,
+        )
+
+        rng = np.random.default_rng(5)
+        base = cv2.GaussianBlur(
+            rng.uniform(0, 255, (64, 280)).astype(np.float32), (5, 5), 1.0
+        )
+        left, right = jnp.asarray(base[:, :256]), jnp.asarray(base[:, 12:268])
+        p = SGMParams(num_disparities=32)
+        outs = {}
+        for impl in ("xla", "pallas_interpret"):
+            cl = _census_words_for(left, p, impl)
+            cr = _census_words_for(right, p, impl)
+            true_d = jnp.full((64, 256), 12.0)
+            false_d = jnp.full((64, 256), 25.0)
+            outs[impl] = (
+                np.asarray(_census_distance(cl, cr, true_d, p, impl)),
+                np.asarray(_census_distance(cl, cr, false_d, p, impl)),
+            )
+        inner = np.s_[4:-4, 30:-4]
+        cd_true, cd_false = outs["xla"]
+        assert cd_true[inner].mean() < 1.0
+        assert cd_false[inner].mean() > 6.0
+        np.testing.assert_array_equal(outs["pallas_interpret"][0], cd_true)
+        np.testing.assert_array_equal(outs["pallas_interpret"][1], cd_false)
+
     def test_hier2_interpret_parity(self):
         import dataclasses
 
