@@ -180,8 +180,15 @@ def run_ours(left, right, mode):
 
     import jax.numpy as jnp
 
-    from stereovision_tpu.stereo import compute_disparity, reference_preset
+    from stereovision_tpu.stereo import (
+        compute_disparity, production_preset, reference_preset,
+    )
 
+    if mode == "prod":  # the headline configuration (bench.py)
+        disp, valid = compute_disparity(
+            jnp.asarray(left), jnp.asarray(right), production_preset()
+        )
+        return np.asarray(disp), np.asarray(valid), None
     # mode "hier_r32" = hier with refine_range 32 (the pack=4 refine);
     # "hier_r32p2" additionally restricts the refine to horizontal paths
     refine = paths = None

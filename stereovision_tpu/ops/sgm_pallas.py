@@ -268,7 +268,7 @@ def cost_volume(
     jax.jit,
     static_argnames=(
         "w", "d", "d_valid", "min_d", "max_cost", "block_h", "block_w",
-        "out_dtype", "transposed", "pack", "interpret",
+        "out_dtype", "transposed", "pack", "t_seg", "interpret",
     ),
 )
 def cost_volume_planes(
@@ -284,6 +284,7 @@ def cost_volume_planes(
     out_dtype=jnp.int8,
     transposed: int = 0,
     pack: int = 1,
+    t_seg: int = 1,
     interpret: bool = False,
 ):
     """Words-leading form of :func:`cost_volume`: ``cl`` is (nw, H, ≥w) census
@@ -296,6 +297,15 @@ def cost_volume_planes(
     whose axis-0 scan IS the horizontal SGM pass (no relayout: the kernel's
     per-column slab store lands at an outer-dim index); 1 → returns the tuple
     (both layouts) from one sweep.
+
+    ``t_seg`` > 1 stores the transposed layout COLUMN-SEGMENTED:
+    (W/t_seg, t_seg·H, d), where segment g's columns occupy rows
+    [g·H, (g+1)·H). An axis-0 scan of that layout runs the horizontal SGM
+    recurrence with a fresh start every W/t_seg columns — t_seg× shorter
+    sequential carry chains with t_seg× more rows of parallelism per step
+    (the scan is latency-bound, not FLOP-bound). Costs nothing here: it is
+    just a different store index map. Requires W to cover t_seg·block_w
+    evenly. Path restarts are the same approximation as the pack seams.
 
     ``pack`` ∈ {2, 4}: lane-packed volume — H must divide by pack with H/pack
     a ``block_h`` multiple; the output is a (H/pack, W, d) pseudo-volume whose
@@ -336,10 +346,29 @@ def cost_volume_planes(
         out_shape.append(jax.ShapeDtypeStruct((H, W, d), out_dtype))
         scratch.append(pltpu.VMEM((block_h, block_w, d), jnp.float32))
     if transposed:
-        out_specs.append(
-            pl.BlockSpec((block_w, block_h, d), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM)
-        )
-        out_shape.append(jax.ShapeDtypeStruct((W, H, d), out_dtype))
+        if t_seg > 1:
+            nwb_all = pl.cdiv(W, block_w)
+            assert nwb_all % t_seg == 0 and W % block_w == 0 and H % block_h == 0, (
+                "t_seg needs W an even multiple of t_seg*block_w and "
+                "H a block_h multiple"
+            )
+            nbps = nwb_all // t_seg  # column blocks per segment
+            hb = H // block_h
+
+            def im_t(i, j, nbps=nbps, hb=hb):
+                return (j % nbps, (j // nbps) * hb + i, 0)
+
+            out_specs.append(
+                pl.BlockSpec((block_w, block_h, d), im_t, memory_space=pltpu.VMEM)
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct((W // t_seg, t_seg * H, d), out_dtype)
+            )
+        else:
+            out_specs.append(
+                pl.BlockSpec((block_w, block_h, d), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((W, H, d), out_dtype))
         scratch.append(pltpu.VMEM((block_w, block_h, d), jnp.float32))
     # group g's rows arrive as separate refs offset by g·nh blocks (the kernel
     # consumes all pack left-census refs, then all pack right-census refs)

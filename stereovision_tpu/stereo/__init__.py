@@ -3,5 +3,6 @@ from stereovision_tpu.stereo.sgm import (  # noqa: F401
     compute_disparity,
     compute_disparity_batch,
     disparity_with_confidence,
+    production_preset,
     reference_preset,
 )

@@ -269,6 +269,35 @@ class TestHier2:
         ok2 = v2[core] & (np.abs(d2[core] - box_d) < 1.0)
         assert ok2.mean() > ok1.mean() + 0.3, (ok1.mean(), ok2.mean())
 
+    def test_agg_wseg_parity_and_accuracy(self):
+        """Segmented horizontal aggregation (agg_wseg): Pallas-interpret and
+        XLA must restart at the same columns bit-identically, and the result
+        must still recover a constant shift."""
+        import dataclasses
+
+        rng = np.random.default_rng(11)
+        base = cv2.GaussianBlur(
+            rng.uniform(0, 255, (64, 266)).astype(np.float32), (5, 5), 1.0
+        )
+        left, right = base[:, :256], base[:, 10:266]  # disparity 10
+        p_x = SGMParams(num_disparities=32, pack=4, paths=2, agg_wseg=2,
+                        impl="xla")
+        p_p = dataclasses.replace(p_x, impl="pallas_interpret")
+        dx, vx = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_x)
+        dp, vp = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_p)
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dx), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(vx))
+        d, v = np.asarray(dx), np.asarray(vx)
+        good = d[6:-6, 40:-6][v[6:-6, 40:-6]]
+        assert good.size and abs(np.median(good) - 10) < 0.3
+        # and the segmentation really changes the scan (differs from wseg=1
+        # somewhere near the restart columns is allowed but results stay close)
+        p_1 = dataclasses.replace(p_x, agg_wseg=1)
+        d1, v1 = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_1)
+        both = v[6:-6, 40:-6] & np.asarray(v1)[6:-6, 40:-6]
+        agree = np.abs(d[6:-6, 40:-6] - np.asarray(d1)[6:-6, 40:-6])[both]
+        assert np.median(agree) < 0.1
+
     def test_fill_invalid_inpaints_and_reports_full_validity(self):
         """fill_invalid=True: remaining holes (LR-killed occlusions, seam
         masks) are inpainted from the nearest valid neighbor (ties to the
