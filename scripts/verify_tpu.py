@@ -179,6 +179,85 @@ def main():
         check(f"e2e {label} disp", d_t, d_c, exact=False)
         check(f"e2e {label} valid", v_t, v_c)
 
+    if "--fused" in sys.argv or "--full" in sys.argv:
+        # fused-pipeline components on the REAL chip vs the same program on
+        # CPU (VERDICT r2 #3: MiDaS forward, dense LK flow, RANSAC ego-motion
+        # and the fusion kernel had only ever run on CPU in CI). Floating-point
+        # fusion order differs between backends, so these are tolerance
+        # checks, not bit-exact ones.
+        import functools
+
+        from stereovision_tpu.fusion import (
+            FusionParams, calibrate_midas_to_stereo, fuse_depth_maps,
+            occlusion_scores,
+        )
+        from stereovision_tpu.mono.ego import estimate_ego_motion
+        from stereovision_tpu.mono.flow import dense_flow
+        from stereovision_tpu.mono.nn import create_model, estimate_depth
+
+        cpu = jax.devices("cpu")[0]
+
+        def both(fn, *args):
+            """Run on the default (TPU) device and on host CPU."""
+            tpu_out = jax.tree_util.tree_map(np.asarray, fn(*args))
+            with jax.default_device(cpu):
+                args_c = jax.tree_util.tree_map(
+                    lambda a: jax.device_put(np.asarray(a), cpu)
+                    if isinstance(a, (jnp.ndarray, np.ndarray)) else a, args)
+                cpu_out = jax.tree_util.tree_map(np.asarray, fn(*args_c))
+            return tpu_out, cpu_out
+
+        def check_close(name, got, want, rtol=2e-3, atol=1e-2):
+            got, want = np.asarray(got), np.asarray(want)
+            ok = got.shape == want.shape and np.allclose(
+                got, want, rtol=rtol, atol=atol)
+            err = float(np.max(np.abs(got - want))) if got.shape == want.shape else -1
+            print(f"{name:>24}: {'OK' if ok else f'MISMATCH (max |Δ| {err:.4g})'}")
+            if not ok:
+                failures.append(name)
+
+        Hs, Ws = 96, 128
+        base2 = rng.uniform(0, 255, (Hs, Ws + 6)).astype(np.float32)
+        prev_np, curr_np = base2[:, :Ws], base2[:, 3 : 3 + Ws]
+
+        model, variables = create_model(net_hw=(64, 96))
+        frame = jnp.asarray(np.repeat(prev_np[..., None], 3, axis=-1))
+        est = functools.partial(estimate_depth, model, net_hw=(64, 96))
+        (d_t2, c_t2), (d_c2, c_c2) = both(est, variables, frame)
+        check_close("midas forward", d_t2, d_c2, rtol=2e-3, atol=0.25)
+        check_close("midas confidence", c_t2, c_c2, atol=0.02)
+
+        (f_t,), (f_c,) = both(lambda p, c: (dense_flow(p, c),),
+                              jnp.asarray(prev_np), jnp.asarray(curr_np))
+        check_close("dense_flow", f_t, f_c, atol=0.05)
+
+        key = jax.random.PRNGKey(3)
+        ego = lambda f, k: estimate_ego_motion(f, k, step=16)  # noqa: E731
+        (v_te, e_t), (v_ce, e_c) = both(ego, jnp.asarray(f_c), key)
+        ok_v = bool(v_te) == bool(v_ce)
+        print(f"{'ego-motion valid':>24}: {'OK' if ok_v else 'MISMATCH'}")
+        if not ok_v:
+            failures.append("ego-motion valid")
+        check_close("ego expected flow", e_t, e_c, atol=0.1)
+
+        sd = jnp.asarray(rng.uniform(0, 255, (Hs, Ws)).astype(np.float32))
+        sc = jnp.asarray((rng.uniform(0, 1, (Hs, Ws)) > 0.3).astype(np.float32))
+        md = jnp.asarray(rng.uniform(0, 255, (Hs, Ws)).astype(np.float32))
+        mc = jnp.asarray(rng.uniform(0, 1, (Hs, Ws)).astype(np.float32))
+        fl = jnp.asarray(rng.uniform(0, 255, (Hs, Ws)).astype(np.float32))
+        (mcal_t,), (mcal_c,) = both(
+            lambda a, b, c: (calibrate_midas_to_stereo(a, b, c),), md, sd, sc)
+        check_close("midas range calib", mcal_t, mcal_c, atol=0.05)
+        fuse = functools.partial(fuse_depth_maps, params=FusionParams())
+        (fu_t, co_t, mo_t), (fu_c, co_c, mo_c) = both(
+            fuse, sd, sc, md, mc, fl, jnp.asarray(True))
+        check_close("fuse_depth_maps", fu_t, fu_c, atol=0.05)
+        check_close("fuse confidence", co_t, co_c, atol=1e-3)
+        (os_t), (os_c) = both(
+            lambda a, b: occlusion_scores(a, b), sd, md)
+        check_close("occlusion scores", np.asarray(os_t), np.asarray(os_c),
+                    atol=1e-3)
+
     if "--full" in sys.argv:
         # production shape, ground-truth check: constant-shift pair → the
         # engine must recover the shift densely at 720p/D=320 in every mode

@@ -29,8 +29,9 @@ def main(argv=None):
                     help="with --videos: process every Nth frame (the reference's SKIP_FRAMES lever)")
     ap.add_argument("--out", default="depth_captures")
     ap.add_argument("--num-disparities", type=int, default=320)
-    ap.add_argument("--mode", choices=["full", "hier", "hier2"], default="full",
-                    help="hier = coarse-to-fine (~2.8x faster at 320 disparities); hier2 = dual-window coarse-to-fine (better at depth discontinuities, ~1.5x faster)")
+    ap.add_argument("--mode", choices=["full", "hier", "hier2", "prod"],
+                    default="full",
+                    help="hier = coarse-to-fine (~2.8x faster at 320 disparities); hier2 = dual-window coarse-to-fine (better at depth discontinuities); prod = the tuned production_preset (beats the cv2 reference on every quality scene)")
     ap.add_argument("--refine-range", type=int, default=32,
                     help="hier refine window (32 = pack=4 fast path)")
     ap.add_argument("--min-depth", type=float, default=0.2, help="meters (depth_map.py:1035)")
@@ -62,8 +63,18 @@ def main(argv=None):
     focal = float(np.asarray(cal["P1"])[0, 0])
     baseline_m = abs(float(np.asarray(cal["T"]).ravel()[0])) / 100.0  # cm → m
 
-    params = SGMParams(num_disparities=args.num_disparities, mode=args.mode,
-                       refine_range=args.refine_range)
+    if args.mode == "prod":
+        from stereovision_tpu.stereo import production_preset
+
+        params = production_preset()
+        if args.num_disparities != 320:
+            import dataclasses
+
+            params = dataclasses.replace(
+                params, num_disparities=args.num_disparities)
+    else:
+        params = SGMParams(num_disparities=args.num_disparities, mode=args.mode,
+                           refine_range=args.refine_range)
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     import imageio.v2 as iio

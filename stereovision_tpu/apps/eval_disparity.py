@@ -50,8 +50,15 @@ def _eval_one(left, right, gt, args):
     from stereovision_tpu.stereo import SGMParams, compute_disparity
     from stereovision_tpu.stereo.eval import evaluate_disparity
 
-    p = SGMParams(num_disparities=args.num_disparities, mode=args.mode,
-                  refine_range=args.refine_range)
+    if args.mode == "prod":
+        from stereovision_tpu.stereo import production_preset
+        import dataclasses
+
+        p = dataclasses.replace(production_preset(),
+                                num_disparities=args.num_disparities)
+    else:
+        p = SGMParams(num_disparities=args.num_disparities, mode=args.mode,
+                      refine_range=args.refine_range)
     disp, valid = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
     return evaluate_disparity(np.asarray(disp), gt, valid=np.asarray(valid))
 
@@ -66,7 +73,8 @@ def main(argv=None):
     ap.add_argument("--gt-scale", type=float, default=256.0,
                     help="divisor for integer PNG ground truth (KITTI: 256)")
     ap.add_argument("--num-disparities", type=int, default=256)
-    ap.add_argument("--mode", choices=["full", "hier", "hier2"], default="hier")
+    ap.add_argument("--mode", choices=["full", "hier", "hier2", "prod"],
+                    default="hier")
     ap.add_argument("--refine-range", type=int, default=32,
                     help="hier refine window (32 = pack=4 fast path)")
     ap.add_argument("--json", action="store_true", help="one JSON line per scene")

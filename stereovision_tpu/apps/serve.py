@@ -228,7 +228,7 @@ def main(argv=None, stdin=None, stdout=None):
     ap.add_argument("--calib", default="output")
     ap.add_argument("--mode", choices=["depth", "fused"], default="depth")
     ap.add_argument("--num-disparities", type=int, default=320)
-    ap.add_argument("--sgm-mode", choices=["full", "hier", "hier2"],
+    ap.add_argument("--sgm-mode", choices=["full", "hier", "hier2", "prod"],
                     default="hier")
     ap.add_argument("--refine-range", type=int, default=32,
                     help="hier refine window (32 = pack=4 fast path)")

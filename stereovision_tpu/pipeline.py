@@ -103,12 +103,15 @@ class DepthPipeline:
         from stereovision_tpu.io.store import CalibrationStore
 
         cal = CalibrationStore(calib_dir).load("stereo_calibration_data")
-        return cls(
-            cal,
-            SGMParams(num_disparities=num_disparities, mode=mode,
-                      refine_range=refine_range),
-            **kw,
-        )
+        if mode == "prod":  # the tuned headline configuration
+            from stereovision_tpu.stereo import production_preset
+
+            params = dataclasses.replace(
+                production_preset(), num_disparities=num_disparities)
+        else:
+            params = SGMParams(num_disparities=num_disparities, mode=mode,
+                               refine_range=refine_range)
+        return cls(cal, params, **kw)
 
     def __call__(self, left, right) -> DepthResult:
         disp, conf, depth = self._run(

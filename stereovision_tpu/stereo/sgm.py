@@ -749,14 +749,8 @@ def _compute_disparity_hier(left, right, p: SGMParams):
     # smear a mid-range value into holes next to large jumps, which drags the
     # refine window to cover neither surface (measured: d≈150 fills inside a
     # d=230 step at 720p → 20-25% confidently-wrong matches in that segment).
-    Wc = disp_c.shape[1]
-    ci = jnp.arange(Wc, dtype=jnp.int32)[None, :]
-    li = jax.lax.cummax(jnp.where(valid_c, ci, -1), axis=1)
-    ri_rev = jax.lax.cummax(jnp.where(valid_c[:, ::-1], ci, -1), axis=1)
-    ri = (Wc - 1) - ri_rev[:, ::-1]  # nearest valid index to the right
-    has_l, has_r = li >= 0, ri_rev[:, ::-1] >= 0
-    dl = jnp.take_along_axis(disp_c, jnp.clip(li, 0, Wc - 1), axis=1)
-    dr = jnp.take_along_axis(disp_c, jnp.clip(ri, 0, Wc - 1), axis=1)
+    dl, has_l, _ = _last_valid_scan(disp_c, valid_c, 1)
+    dr, has_r, _ = _last_valid_scan(disp_c, valid_c, 1, reverse=True)
     fill_g = jnp.sum(jnp.where(valid_c, disp_c, 0.0)) / (
         jnp.sum(valid_c.astype(jnp.float32)) + 1e-6
     )
@@ -960,6 +954,37 @@ def _census_distance(cl, cr, disp, p: SGMParams, impl: str):
     return dist
 
 
+def _last_valid_scan(values, valid, axis: int, reverse: bool = False):
+    """Propagate the nearest preceding (or following, with ``reverse``) valid
+    value and its distance along ``axis`` via an associative scan.
+
+    A ``take_along_axis`` of the cummax'd index does the same thing but is a
+    per-element gather — ~9 ms per call at 720p on TPU (the reason
+    ops.shift_gather exists); the scan is log-depth, vectorized, gather-free.
+    Returns (value, has_valid, distance)."""
+    n = values.shape[axis]
+    shape = [1] * values.ndim
+    shape[axis] = n
+    idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32).reshape(shape), values.shape
+    )
+
+    def comb(a, b):
+        av, ai = a
+        bv, bi = b
+        has_b = bi >= 0
+        return jnp.where(has_b, bv, av), jnp.where(has_b, bi, ai)
+
+    vs, is_ = jax.lax.associative_scan(
+        comb,
+        (jnp.where(valid, values, 0.0), jnp.where(valid, idx, -1)),
+        axis=axis, reverse=reverse,
+    )
+    has = is_ >= 0
+    dist = jnp.where(has, jnp.abs(idx - is_), jnp.int32(1 << 20))
+    return vs, has, dist
+
+
 def _census_fill(disp, valid, d_up, cl, cr, p: SGMParams, impl: str):
     """Data-driven inpainting of invalid pixels (hier2's fill_invalid):
     candidate values are the min and max of the 4-direction nearest valid
@@ -972,19 +997,8 @@ def _census_fill(disp, valid, d_up, cl, cr, p: SGMParams, impl: str):
     lo = None
     hi = None
     for axis in (0, 1):
-        for flip in (False, True):
-            d2 = jnp.flip(disp, axis) if flip else disp
-            v2 = jnp.flip(valid, axis) if flip else valid
-            n = d2.shape[axis]
-            ci = jnp.arange(n, dtype=jnp.int32)
-            ci = ci[:, None] if axis == 0 else ci[None, :]
-            li = jax.lax.cummax(jnp.where(v2, ci, -1), axis=axis)
-            val = jnp.take_along_axis(d2, jnp.clip(li, 0, n - 1), axis=axis)
-            if flip:
-                val = jnp.flip(val, axis)
-                has = jnp.flip(li >= 0, axis)
-            else:
-                has = li >= 0
+        for reverse in (False, True):
+            val, has, _ = _last_valid_scan(disp, valid, axis, reverse)
             val = jnp.where(has, val, d_up)
             lo = val if lo is None else jnp.minimum(lo, val)
             hi = val if hi is None else jnp.maximum(hi, val)
@@ -1015,24 +1029,9 @@ def _nearest4_fill(disp, valid, p: SGMParams):
     )
     best_val = jnp.full(disp.shape, fallback, jnp.float32)
     best_dist = jnp.full(disp.shape, BIG, jnp.int32)
-
-    def along(d, v, axis):
-        n = d.shape[axis]
-        ci = jnp.arange(n, dtype=jnp.int32)
-        ci = ci[:, None] if axis == 0 else ci[None, :]
-        li = jax.lax.cummax(jnp.where(v, ci, -1), axis=axis)
-        has = li >= 0
-        val = jnp.take_along_axis(d, jnp.clip(li, 0, n - 1), axis=axis)
-        dist = jnp.where(has, ci - li, BIG)
-        return val, dist
-
     for axis in (0, 1):
-        for flip in (False, True):
-            d = jnp.flip(disp, axis) if flip else disp
-            v = jnp.flip(valid, axis) if flip else valid
-            val, dist = along(d, v, axis)
-            if flip:
-                val, dist = jnp.flip(val, axis), jnp.flip(dist, axis)
+        for reverse in (False, True):
+            val, _, dist = _last_valid_scan(disp, valid, axis, reverse)
             take = (dist < best_dist) | ((dist == best_dist) & (val < best_val))
             best_val = jnp.where(take, val, best_val)
             best_dist = jnp.where(take, dist, best_dist)
