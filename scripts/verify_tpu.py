@@ -126,6 +126,20 @@ def main():
     check("sum_wta best", got[1], s_np.min(0).astype(np.float32))
     check("sum_wta idx", got[2], s_np.argmin(0))
 
+    # one-pass lane-reduction WTA stats (paths=2 pipeline) vs XLA sum_wta
+    hfs = jnp.asarray(rng.integers(0, 120, (96, 256, D)).astype(np.int8))
+    hbs = jnp.asarray(rng.integers(0, 120, (96, 256, D)).astype(np.int8))
+    for groups, dv in ((1, 100), (4, 30)):
+        want = sgm_pallas.sum_wta((hfs, hbs), d_valid=dv, groups=groups,
+                                  emit_transposed=True)
+        got = sgm_pallas.wta_stats_from_duals(hfs, hbs, d_valid=dv,
+                                              groups=groups)
+        for name, gv, wv in zip(("best", "idx", "cm", "cp", "comp"),
+                                got, want[1:]):
+            check(f"wta_lanes g{groups} {name}", gv, wv)
+        check(f"st_from_duals g{groups}",
+              sgm_pallas.st_from_duals(hfs, hbs, dv, groups), want[0])
+
     # right disparity
     s_t = jnp.asarray(rng.integers(0, 400, (D, H, W)).astype(np.int16))
     r_t = sgm_pallas.right_disparity(s_t, 100, pre_transposed=True)

@@ -1113,6 +1113,121 @@ def sum_wta(
     )
 
 
+def _wta_lanes_kernel(hf_ref, hb_ref, *out_refs, d_valid: int, dg: int, groups: int):
+    # One read of the two int8 dual volumes; all five winner statistics as
+    # LANE-dim reductions (cheap on VPU) over each group's STATIC lane slice.
+    # The XLA formulation re-reads the int32 summed volume once per statistic
+    # (~5×120 MB at the 720p refine shapes — measured +3.3 ms/frame); this
+    # kernel is one ~60 MB pass.
+    s = hf_ref[:].astype(jnp.int32) + hb_ref[:].astype(jnp.int32)  # (BW, BH, D)
+    dp = 1
+    while dp < dg:
+        dp *= 2
+    for g in range(groups):
+        sg = jax.lax.slice_in_dim(s, g * dg, (g + 1) * dg, axis=2)
+        dl = jax.lax.broadcasted_iota(jnp.int32, sg.shape, 2)
+        sg = jnp.where(dl >= d_valid, _BIGI >> 8, sg)
+        key = jnp.minimum(sg, (1 << 30) // dp - 1) * dp + dl
+        kmin = jnp.min(key, axis=-1)
+        best = kmin // dp
+        idx = kmin % dp
+        cm = jnp.min(jnp.where(dl == idx[..., None] - 1, sg, _BIGI), axis=-1)
+        cp = jnp.min(jnp.where(dl == idx[..., None] + 1, sg, _BIGI), axis=-1)
+        comp = jnp.min(
+            jnp.where(jnp.abs(dl - idx[..., None]) > 1, sg, _BIGI), axis=-1
+        )
+        o = out_refs[5 * g : 5 * g + 5]
+        o[0][:] = best.astype(jnp.float32)
+        o[1][:] = idx
+        o[2][:] = cm.astype(jnp.float32)
+        o[3][:] = cp.astype(jnp.float32)
+        o[4][:] = comp.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d_valid", "groups", "block_w", "block_h", "interpret"),
+)
+def wta_stats_from_duals(
+    hf_t: jax.Array,
+    hb_t: jax.Array,
+    d_valid: int,
+    groups: int = 1,
+    block_w: int = 32,
+    block_h: int = 128,
+    interpret: bool = False,
+):
+    """(W, H, D) int8 dual path-cost volumes → the :func:`_wta_stats`
+    statistics of their sum, masked to ``d_valid`` lanes per ``dg``-lane
+    group, as (groups·H, W) maps (group-major rows, matching
+    :func:`sum_wta`'s packed convention). Bit-identical to the XLA
+    formulation; one volume read instead of one per statistic.
+
+    The stats come out of the kernel in the volumes' (W, H) orientation —
+    2-D output blocks need a ×128 lane dim, so ``block_h`` rides the lane
+    axis (Mosaic requires H ≥ 128 on hardware; smaller H works in interpret
+    mode) — and are transposed back by XLA (small f32 maps)."""
+    W, H, D = hf_t.shape
+    dg = D // groups
+    assert D % groups == 0 and d_valid <= dg
+    nw = pl.cdiv(W, block_w)
+    nh = pl.cdiv(H, block_h)
+    spec3 = pl.BlockSpec(
+        (block_w, block_h, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = []
+    out_shape = []
+    for g in range(groups):
+        for dt in (jnp.float32, jnp.int32, jnp.float32, jnp.float32, jnp.float32):
+            out_specs.append(
+                pl.BlockSpec(
+                    (block_w, block_h),
+                    lambda i, j, g=g: (i, g * nh + j),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct((nw * block_w, groups * nh * block_h), dt)
+            )
+    outs = pl.pallas_call(
+        functools.partial(
+            _wta_lanes_kernel, d_valid=d_valid, dg=dg, groups=groups
+        ),
+        grid=(nw, nh),
+        in_specs=[spec3, spec3],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(hf_t, hb_t)
+    res = []
+    for g in range(groups):
+        grp = []
+        for k in range(5):
+            m = outs[5 * g + k][:W, g * nh * block_h : g * nh * block_h + H]
+            grp.append(jnp.transpose(m, (1, 0)))
+        res.append(grp)
+    best, idx, cm, cp, comp = (
+        jnp.concatenate(parts, axis=0) for parts in zip(*res)
+    )
+    return best, idx, cm, cp, comp
+
+
+@functools.partial(jax.jit, static_argnames=("d_valid", "groups"))
+def st_from_duals(hf_t, hb_t, d_valid: int, groups: int = 1):
+    """Just the (D, H, W) int16 summed-transposed volume for
+    :func:`right_disparity` — :func:`_sum_wta_st_first`'s s_t construction
+    (bit-identical) without any statistics; pairs with
+    :func:`wta_stats_from_duals` on the paths=2 pipeline."""
+    D = hf_t.shape[-1]
+    dg = D // groups
+    st = jnp.transpose(hf_t.astype(jnp.int32) + hb_t.astype(jnp.int32), (2, 1, 0))
+    if d_valid < dg:
+        p_iota = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        dl = p_iota % dg if groups > 1 else p_iota
+        st = jnp.where(dl >= d_valid, _BIGI >> 8, st)
+    return jnp.minimum(st, 30000).astype(jnp.int16)
+
+
 def _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid: int, groups: int):
     """Transpose-first :func:`sum_wta` core (see its docstring): s_t (D, H, W)
     int16 is assembled from two XLA batch transposes of the raw dual-sweep

@@ -102,10 +102,12 @@ class SGMParams:
     paths: int = 4
     # horizontal-aggregation column segmentation (paths=2 only): the scan
     # restarts every W/agg_wseg columns, with the segments stacked along the
-    # row axis — agg_wseg× shorter sequential carry chains and agg_wseg× more
-    # parallel rows per step (the recurrence is latency-bound). Same
-    # approximation family as the pack-seam restarts. Active only when
-    # W divides by 128·agg_wseg; 1 = off.
+    # row axis. Built on the theory that shorter carry chains with more
+    # parallel rows per step would beat the latency-bound recurrence —
+    # MEASURED OTHERWISE on v5e (720p pack=4: wseg=5 costs +5 ms/frame over
+    # wseg=1 in the full pipeline; the dual sweep alone is flat at best).
+    # Kept for experimentation; leave at 1 for production. Active only when
+    # W divides by 128·agg_wseg.
     agg_wseg: int = 1
 
 
@@ -124,14 +126,13 @@ def reference_preset(mode: str = "hier") -> "SGMParams":
 def production_preset() -> "SGMParams":
     """The headline 720p configuration: the reference's full 320-disparity
     search, run as hier2 (two complementary R=32 windows, pack=4 lane
-    packing, horizontal path family with 5-segment aggregation, 1/3-scale
-    coarse pass) with census-evidence arbitration and data-driven invalid
+    packing, horizontal path family, 1/3-scale coarse pass) with census-evidence arbitration and data-driven invalid
     fill. Beats the cv2 SGBM_3WAY reference's bad2 on every quality scene
     (scripts/eval_quality.py --modes prod) at the engine's fastest measured
     pipeline shape."""
     return SGMParams(
         num_disparities=320, mode="hier2", refine_range=32, paths=2,
-        coarse_scale=3, census_kill=6.0, fill_invalid=True, agg_wseg=5,
+        coarse_scale=3, census_kill=6.0, fill_invalid=True,
     )
 
 
@@ -495,6 +496,16 @@ def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
         interpret=interpret,
     )
     hf_t, hb_t = dual(cost_t, axis=0)
+    if p.paths == 2 and (interpret or cost_t.shape[1] >= 128):
+        # one-pass lane-reduction stats kernel (see _disparity_core_packed)
+        best, idx, cm, cp, comp = sgm_pallas.wta_stats_from_duals(
+            hf_t, hb_t, d_valid=D, interpret=interpret
+        )
+        s_t = (
+            sgm_pallas.st_from_duals(hf_t, hb_t, D)
+            if p.lr_max_diff >= 0 else None
+        )
+        return None, (best, idx, cm, cp, comp), s_t
     if p.paths == 2:
         vols = (hf_t, hb_t)
     else:
@@ -616,15 +627,27 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str,
     # scan is latency-bound, so per-step parallelism is the point
     hf_t, hb_t = dual(cost_t, axis=0,
                       block_x=cost_t.shape[1] if seg > 1 else None)
-    if p.paths == 2:
-        vols = (hf_t, hb_t)
+    if p.paths == 2 and (interpret or cost_t.shape[1] >= 128):
+        # one-pass lane-reduction stats kernel + (if LR) the XLA s_t build:
+        # the XLA stats formulation re-reads the summed volume per statistic
+        # (measured +3.3 ms/frame at 720p)
+        best, idx, cm, cp, comp = sgm_pallas.wta_stats_from_duals(
+            hf_t, hb_t, d_valid=D, groups=pk, interpret=interpret
+        )
+        s_t = (
+            sgm_pallas.st_from_duals(hf_t, hb_t, D, pk)
+            if p.lr_max_diff >= 0 else None
+        )
     else:
-        vf, vb = dual(cost, axis=0)
-        vols = (hf_t, hb_t, vf, vb)
-    s_t, best, idx, cm, cp, comp = sgm_pallas.sum_wta(
-        vols, d_valid=D, groups=pk,
-        emit_transposed=p.lr_max_diff >= 0, interpret=interpret,
-    )
+        if p.paths == 2:
+            vols = (hf_t, hb_t)
+        else:
+            vf, vb = dual(cost, axis=0)
+            vols = (hf_t, hb_t, vf, vb)
+        s_t, best, idx, cm, cp, comp = sgm_pallas.sum_wta(
+            vols, d_valid=D, groups=pk,
+            emit_transposed=p.lr_max_diff >= 0, interpret=interpret,
+        )
     if seg > 1:
         # un-permute from the segmented space back to true column adjacency:
         # the packed stats stack groups outermost — rows are
@@ -818,7 +841,8 @@ def _compute_disparity_hier(left, right, p: SGMParams):
         pk = 4 if R <= 32 else 2
         cl_pre = _census_words_for(_pack_pad(left, pk), p, impl)
     disp, valid, cost_a = _refine_with_shift(
-        left, right, shift, p, mask_seams=two_pass, cl_pre=cl_pre
+        left, right, shift, p, mask_seams=two_pass, cl_pre=cl_pre,
+        post=not two_pass,
     )
 
     if two_pass:
@@ -853,7 +877,8 @@ def _compute_disparity_hier(left, right, p: SGMParams):
             p.min_disparity, p.min_disparity + p.num_disparities - R,
         )
         disp_b, valid_b, cost_b = _refine_with_shift(
-            left, right, shift_b, p, mask_seams=True, cl_pre=cl_pre
+            left, right, shift_b, p, mask_seams=True, cl_pre=cl_pre,
+            post=False,
         )
         # merge. Arbitration between the windows runs on census Hamming
         # distance against the ORIGINAL right image at each candidate — a
@@ -880,11 +905,17 @@ def _compute_disparity_hier(left, right, p: SGMParams):
         take_b = valid_b & ((~valid) | (disagree & better_b))
         disp = jnp.where(take_b, disp_b, disp)
         valid = valid | valid_b
+        d_up_c = jnp.clip(
+            d_up, p.min_disparity, p.min_disparity + p.num_disparities - 1
+        )
+        # single post pass on the merged field (the per-pass posts are off);
+        # the median must not see the −1 sentinels the passes baked into
+        # their invalid pixels — fill those with the coarse prior first
+        valid = _speckle_suppress(disp, valid, p)
+        if p.median_ksize > 1:
+            disp = im.median_blur(jnp.where(valid, disp, d_up_c), p.median_ksize)
         disp = jnp.where(valid, disp, float(p.min_disparity) - 1.0)
         if p.fill_invalid:
-            d_up_c = jnp.clip(
-                d_up, p.min_disparity, p.min_disparity + p.num_disparities - 1
-            )
             disp = _census_fill(disp, valid, d_up_c, cl_arb, cr_arb, p, impl)
             valid = jnp.ones_like(valid)
         return disp, valid
@@ -960,27 +991,39 @@ def _last_valid_scan(values, valid, axis: int, reverse: bool = False):
 
     A ``take_along_axis`` of the cummax'd index does the same thing but is a
     per-element gather — ~9 ms per call at 720p on TPU (the reason
-    ops.shift_gather exists); the scan is log-depth, vectorized, gather-free.
-    Returns (value, has_valid, distance)."""
+    ops.shift_gather exists) — and ``lax.associative_scan`` lowers to a
+    multi-pass up/down sweep that measured ~4 ms per call at 720p. Doubling
+    shifted selects (jump pointers) compute the same prefix in log₂(n) cheap
+    full-array ops. Returns (value, has_valid, distance)."""
     n = values.shape[axis]
     shape = [1] * values.ndim
     shape[axis] = n
     idx = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32).reshape(shape), values.shape
     )
+    if reverse:
+        values, valid = jnp.flip(values, axis), jnp.flip(valid, axis)
+    vs = jnp.where(valid, values, 0.0)
+    is_ = jnp.where(valid, idx, -1)
 
-    def comb(a, b):
-        av, ai = a
-        bv, bi = b
-        has_b = bi >= 0
-        return jnp.where(has_b, bv, av), jnp.where(has_b, bi, ai)
+    def shift_in(x, k, fillv):
+        # x[i] ← x[i − k] with a constant front fill (replicate the prefix
+        # semantics: positions < k have no predecessor k steps back)
+        pad = jnp.full_like(jax.lax.slice_in_dim(x, 0, k, axis=axis), fillv)
+        return jnp.concatenate(
+            [pad, jax.lax.slice_in_dim(x, 0, n - k, axis=axis)], axis=axis
+        )
 
-    vs, is_ = jax.lax.associative_scan(
-        comb,
-        (jnp.where(valid, values, 0.0), jnp.where(valid, idx, -1)),
-        axis=axis, reverse=reverse,
-    )
+    k = 1
+    while k < n:
+        has = is_ >= 0
+        vs = jnp.where(has, vs, shift_in(vs, k, 0.0))
+        is_ = jnp.where(has, is_, shift_in(is_, k, -1))
+        k *= 2
     has = is_ >= 0
+    if reverse:
+        vs, has, is_ = (jnp.flip(a, axis) for a in (vs, has, is_))
+        is_ = jnp.where(has, (n - 1) - is_, -1)
     dist = jnp.where(has, jnp.abs(idx - is_), jnp.int32(1 << 20))
     return vs, has, dist
 
@@ -1041,7 +1084,7 @@ def _nearest4_fill(disp, valid, p: SGMParams):
 
 
 def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = False,
-                       cl_pre=None):
+                       cl_pre=None, post: bool = True):
     """One hier refine pass: warp the right image by the integer ``shift``
     field, run a refine_range-window full search, and undo the shift.
     Returns (disp float32 px with invalid = min_disparity − 1, valid).
@@ -1081,6 +1124,11 @@ def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = Fals
     refine_p = _dc.replace(
         p, mode="full", num_disparities=R, min_disparity=0,
         pack=4 if R <= 32 else (2 if R <= 64 else 1),
+        # post=False: hier2 runs speckle+median ONCE on the merged result
+        # instead of once per pass — half the post cost, and the filters see
+        # the final field rather than each window's partial one
+        speckle_window_size=p.speckle_window_size if post else 0,
+        median_ksize=p.median_ksize if post else 1,
     )
     disp_r, valid, best = _compute_full(left, warped_right, refine_p,
                                         cl_pre=cl_pre)

@@ -344,3 +344,33 @@ class TestLanePacked:
         err32 = np.abs(d32[inner] - gt[None, 80:-10])[vi32]
         assert np.median(err32) < max(0.6, 1.3 * np.median(err_f)), (
             np.median(err32), np.median(err_f))
+
+
+class TestWtaStatsFromDuals:
+    def test_matches_sum_wta_statistics(self):
+        """The one-pass lane-reduction stats kernel must reproduce sum_wta's
+        statistics bit-for-bit for every group count (and st_from_duals must
+        reproduce its s_t)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from stereovision_tpu.ops import sgm_pallas
+
+        rng = np.random.default_rng(13)
+        W, H, D = 96, 256, 128  # H >= 128: the hardware block constraint
+        hf = jnp.asarray(rng.integers(0, 120, (W, H, D)).astype(np.int8))
+        hb = jnp.asarray(rng.integers(0, 120, (W, H, D)).astype(np.int8))
+        for groups, d_valid in ((1, 100), (2, 64), (4, 30)):
+            want = sgm_pallas.sum_wta(
+                (hf, hb), d_valid=d_valid, groups=groups, emit_transposed=True
+            )
+            got = sgm_pallas.wta_stats_from_duals(
+                hf, hb, d_valid=d_valid, groups=groups, interpret=True
+            )
+            names = ("best", "idx", "cm", "cp", "comp")
+            for name, g, w in zip(names, got, want[1:]):
+                np.testing.assert_array_equal(
+                    np.asarray(g), np.asarray(w), err_msg=f"{name} groups={groups}"
+                )
+            st = sgm_pallas.st_from_duals(hf, hb, d_valid, groups)
+            np.testing.assert_array_equal(np.asarray(st), np.asarray(want[0]))
