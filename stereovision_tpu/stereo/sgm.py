@@ -701,7 +701,13 @@ def compute_disparity(left: jax.Array, right: jax.Array, params: SGMParams = SGM
             params = dataclasses.replace(params, mode="full")
         else:
             return _compute_disparity_hier(left, right, params)
-    return _compute_full(left, right, params)[:2]
+    disp, valid, _ = _compute_full(left, right, params)
+    if params.fill_invalid:
+        # the fill_invalid contract (all-true mask) holds in full mode too —
+        # including hier configs demoted to full by a small search range
+        disp = _nearest4_fill(disp, valid, params)
+        valid = jnp.ones_like(valid)
+    return disp, valid
 
 
 def _compute_full(left, right, params: SGMParams, cl_pre=None):
@@ -750,6 +756,9 @@ def _compute_disparity_hier(left, right, p: SGMParams):
     # invalid pixels get mean-filled before warping instead.
     coarse_p = _dc.replace(
         p, mode="full", num_disparities=max(16, dc_n),
+        # the hier-level fill contract must not alter the coarse solve (its
+        # invalids are handled by the dedicated occlusion-style fill below)
+        fill_invalid=False,
         min_disparity=p.min_disparity // s,
         # keep the speckle filter ON at coarse res (it is cheap at 1/s²
         # pixels): scattered garbage matches that leak through the coarse LR
@@ -878,7 +887,7 @@ def _compute_disparity_hier(left, right, p: SGMParams):
         )
         disp_b, valid_b, cost_b = _refine_with_shift(
             left, right, shift_b, p, mask_seams=True, cl_pre=cl_pre,
-            post=False,
+            post=False, lr=False,
         )
         # merge. Arbitration between the windows runs on census Hamming
         # distance against the ORIGINAL right image at each candidate — a
@@ -1084,7 +1093,7 @@ def _nearest4_fill(disp, valid, p: SGMParams):
 
 
 def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = False,
-                       cl_pre=None, post: bool = True):
+                       cl_pre=None, post: bool = True, lr: bool = True):
     """One hier refine pass: warp the right image by the integer ``shift``
     field, run a refine_range-window full search, and undo the shift.
     Returns (disp float32 px with invalid = min_disparity − 1, valid).
@@ -1129,6 +1138,11 @@ def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = Fals
         # the final field rather than each window's partial one
         speckle_window_size=p.speckle_window_size if post else 0,
         median_ksize=p.median_ksize if post else 1,
+        # lr=False: hier2's window B skips the left-right check entirely
+        # (s_t never materializes, no right-disparity pass) — B's validity is
+        # carried by uniqueness + seam masking + the census kill/arbitration,
+        # measured quality-neutral on every scene
+        lr_max_diff=p.lr_max_diff if lr else -1,
     )
     disp_r, valid, best = _compute_full(left, warped_right, refine_p,
                                         cl_pre=cl_pre)
