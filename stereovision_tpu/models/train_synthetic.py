@@ -30,12 +30,35 @@ def ssi_align(pred, target):
     return (p - pm) * s + tm, t
 
 
+def sign_penalty(pred, target):
+    """Mean negative-correlation penalty. The unconstrained SSI scale lets
+    the net satisfy the loss with per-image INVERTED orderings (measured:
+    Spearman −0.95 on ground-plane scenes after widening the distribution);
+    a HARD positive-scale clamp instead kills the gradient wherever the
+    correlation is already negative (measured: val loss frozen). This soft
+    penalty pushes negatively-correlated images toward positive correlation
+    and vanishes once they get there."""
+    import jax
+    import jax.numpy as jnp
+
+    p = pred.reshape(pred.shape[0], -1)
+    t = target.reshape(target.shape[0], -1)
+    pm = p.mean(axis=1, keepdims=True)
+    tm = t.mean(axis=1, keepdims=True)
+    cov = ((p - pm) * (t - tm)).mean(axis=1)
+    var_p = ((p - pm) ** 2).mean(axis=1)
+    var_t = ((t - tm) ** 2).mean(axis=1)
+    corr = cov / jnp.sqrt(var_p * var_t + 1e-10)
+    return jnp.mean(jax.nn.relu(-corr))
+
+
 def loss_fn(model, params, imgs, invd):
     import jax.numpy as jnp
 
     pred = model.apply(params, imgs / 255.0)
     pa, t = ssi_align(pred, invd)
     mse = jnp.mean((pa - t) ** 2)
+    mse = mse + 0.02 * sign_penalty(pred, invd)
     # gradient matching at 2 scales
     pr = pa.reshape(invd.shape)
     tr = t.reshape(invd.shape)
