@@ -553,7 +553,7 @@ def _pack_pad(img, pk: int):
 
 
 def _disparity_core_packed(left, right, params: SGMParams, impl: str,
-                           cl_pre=None):
+                           cl_pre=None, crr_pre=None):
     """Lane-packed core (pack ∈ {2, 4}): pack horizontal strips of the image
     travel as independent (128/pack)-lane disparity groups of one
     (H/pack, W, 128) pseudo-volume — cost, aggregation, and WTA traffic all
@@ -563,9 +563,11 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str,
     over a shared full-image census — bit-identical to the packed kernels
     (parity-tested).
 
-    ``cl_pre``: optional precomputed census of the (pack-padded) left image in
-    the impl's native format — hier2 shares one left census across its two
-    refine passes instead of computing it twice.
+    ``cl_pre``/``crr_pre``: optional precomputed censuses of the
+    (pack-padded) left / width-flipped right image in the impl's native
+    format — hier2 shares one left census across its refine passes, and the
+    stacked two-window refine injects per-half right censuses so the stack
+    boundary keeps per-image replicate-border semantics.
     """
     H, W = left.shape
     pk = params.pack
@@ -578,7 +580,8 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str,
     if impl == "xla":
         cl = cl_pre if cl_pre is not None else im.census_transform(
             left, params.census_ksize, params.census_wsize)
-        cr = im.census_transform(right, params.census_ksize, params.census_wsize)
+        cr = crr_pre if crr_pre is not None else im.census_transform(
+            right, params.census_ksize, params.census_wsize)
         parts = []
         for g in range(pk):
             sl = slice(g * Hh, (g + 1) * Hh)
@@ -601,7 +604,7 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str,
     cl = cl_pre if cl_pre is not None else sgm_pallas.census_words(
         left, p.census_ksize, p.census_wsize, interpret=interpret
     )
-    crr = sgm_pallas.census_words(
+    crr = crr_pre if crr_pre is not None else sgm_pallas.census_words(
         right[:, ::-1], p.census_ksize, p.census_wsize, mirror=True,
         interpret=interpret,
     )
@@ -710,7 +713,7 @@ def compute_disparity(left: jax.Array, right: jax.Array, params: SGMParams = SGM
     return disp, valid
 
 
-def _compute_full(left, right, params: SGMParams, cl_pre=None):
+def _compute_full(left, right, params: SGMParams, cl_pre=None, crr_pre=None):
     """Full-search pipeline; returns (disp, valid, best aggregated cost) —
     the cost is used by hier2's cross-window arbitration (cost tiebreak)."""
     left = left.astype(jnp.float32)
@@ -721,7 +724,8 @@ def _compute_full(left, right, params: SGMParams, cl_pre=None):
             "lane packing needs num_disparities ≤ 128/pack"
         )
         disp, valid, best = _disparity_core_packed(left, right, params, impl,
-                                                   cl_pre=cl_pre)
+                                                   cl_pre=cl_pre,
+                                                   crr_pre=crr_pre)
     else:
         disp, valid, best = _disparity_core(left, right, params, impl)
     valid = _speckle_suppress(disp, valid, params)
@@ -843,18 +847,11 @@ def _compute_disparity_hier(left, right, p: SGMParams):
         jnp.round(env - margin), p.min_disparity, p.min_disparity + p.num_disparities - R
     )
     impl = _resolve_impl(p.impl)
-    cl_pre = None
-    if two_pass and R <= 64:
-        # both refine passes census the SAME left image — compute it once
-        # (the packed cores pad rows identically for a fixed pack)
-        pk = 4 if R <= 32 else 2
-        cl_pre = _census_words_for(_pack_pad(left, pk), p, impl)
-    disp, valid, cost_a = _refine_with_shift(
-        left, right, shift, p, mask_seams=two_pass, cl_pre=cl_pre,
-        post=not two_pass,
-    )
-
-    if two_pass:
+    if not two_pass:
+        disp, valid, cost_a = _refine_with_shift(
+            left, right, shift, p, mask_seams=False, post=True,
+        )
+    else:
         # Second, high-side window: a disparity jump LARGER than R puts the
         # near surface's strip (≤R wide, left of the jump) above window A —
         # LR-invalidated there. Window B tops out at the local max-envelope:
@@ -885,10 +882,35 @@ def _compute_disparity_hier(left, right, p: SGMParams):
             jnp.round(env_hi + margin) - (R - 1),
             p.min_disparity, p.min_disparity + p.num_disparities - R,
         )
-        disp_b, valid_b, cost_b = _refine_with_shift(
-            left, right, shift_b, p, mask_seams=True, cl_pre=cl_pre,
-            post=False, lr=False,
-        )
+        cl_arb = None
+        if R <= 32 and H % 16 == 0:
+            # stacked form: with the horizontal-only path family the refine's
+            # rows are fully independent, so BOTH windows run as one
+            # [warp_A; warp_B] packed solve — half the kernel launches; the
+            # per-image left census doubles as the arbitration census
+            cl_arb = _census_words_for(left, p, impl)
+            (disp, valid, cost_a), (disp_b, valid_b, cost_b) = (
+                _refine_two_windows(left, right, shift, shift_b, p,
+                                    cl1=cl_arb)
+            )
+        else:
+            cl_pre = None
+            if R <= 64:
+                # both refine passes census the SAME left image — compute it
+                # once (the packed cores pad rows identically per pack)
+                pk = 4 if R <= 32 else 2
+                cl_pre = _census_words_for(_pack_pad(left, pk), p, impl)
+                cl_arb = cl_pre
+            disp, valid, cost_a = _refine_with_shift(
+                left, right, shift, p, mask_seams=True, cl_pre=cl_pre,
+                post=False,
+            )
+            disp_b, valid_b, cost_b = _refine_with_shift(
+                left, right, shift_b, p, mask_seams=True, cl_pre=cl_pre,
+                post=False, lr=False,
+            )
+
+    if two_pass:
         # merge. Arbitration between the windows runs on census Hamming
         # distance against the ORIGINAL right image at each candidate — a
         # window that does not contain the true match can hallucinate a
@@ -898,9 +920,8 @@ def _compute_disparity_hier(left, right, p: SGMParams):
         # evidence vs the real image is noise-level while the true match's is
         # near zero. Aggregated cost only breaks near-ties. census_kill
         # additionally drops ANY candidate with noise-level evidence.
-        cl_arb = (
-            cl_pre if cl_pre is not None else _census_words_for(left, p, impl)
-        )
+        if cl_arb is None:
+            cl_arb = _census_words_for(left, p, impl)
         cr_arb = _census_words_for(right, p, impl)
         cd_a = _census_distance(cl_arb, cr_arb, disp, p, impl)
         cd_b = _census_distance(cl_arb, cr_arb, disp_b, p, impl)
@@ -1186,6 +1207,112 @@ def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = Fals
         valid = valid & (ramp_at < 0.5)
     disp = jnp.where(valid, disp_r + shift_at, float(p.min_disparity) - 1.0)
     return disp, valid, best
+
+
+def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
+    """Both hier2 refine windows as ONE stacked packed solve.
+
+    With the horizontal-only path family (paths=2) the refine's rows are
+    fully independent — no vertical aggregation, per-row LR diagonal, per-row
+    warp — so stacking [warp_A; warp_B] into a 2H pseudo-image and running a
+    single pack=4 search is numerically equivalent to the two sequential
+    passes while HALVING the kernel-launch count (cost, aggregation, stats,
+    s_t, LR, and the shift/ramp gathers each run once over 2H instead of
+    twice over H). Per-half censuses are injected (``crr_pre``) so the stack
+    boundary keeps per-image replicate-border semantics. Requires R ≤ 32 and
+    H % 16 == 0 (the A/B boundary must land on a pack-strip seam).
+
+    ``cl1``: the per-image left census (impl-native format) — also reused by
+    the caller for arbitration. Returns ((disp_a, valid_a, best_a),
+    (disp_b, valid_b, best_b)); invalid pixels carry min_disparity − 1.
+    """
+    import dataclasses as _dc
+
+    R = p.refine_range
+    H, W = left.shape
+    assert R <= 32 and H % 16 == 0
+    impl = _resolve_impl(p.impl)
+    interpret = impl == "pallas_interpret"
+    xs = jnp.arange(W, dtype=jnp.int32)[None, :]
+    left2 = jnp.concatenate([left, left], axis=0)
+    right2 = jnp.concatenate([right, right], axis=0)
+    shift2 = jnp.concatenate([shift_a, shift_b], axis=0)
+    if impl == "xla":
+        src_x = jnp.clip(xs - shift2.astype(jnp.int32), 0, W - 1)
+        warped2 = jnp.take_along_axis(right2, src_x, axis=1)
+    else:
+        from stereovision_tpu.ops import sgm_pallas
+
+        off2 = jnp.clip(shift2.astype(jnp.int32), 0, xs)
+        warped2 = sgm_pallas.shift_gather(
+            right2, off2, p.min_disparity + p.num_disparities - R + 1,
+            block_s=32, assume_clipped=True, interpret=interpret,
+        )
+
+    if cl1 is None:
+        cl1 = _census_words_for(left, p, impl)
+    wa, wb = warped2[:H], warped2[H:]
+    if impl == "xla":
+        cl2 = jnp.concatenate([cl1, cl1], axis=0)
+        crr2 = jnp.concatenate(
+            [im.census_transform(wa, p.census_ksize, p.census_wsize),
+             im.census_transform(wb, p.census_ksize, p.census_wsize)],
+            axis=0,
+        )
+    else:
+        from stereovision_tpu.ops import sgm_pallas
+
+        cl2 = jnp.concatenate([cl1, cl1], axis=1)
+        crr2 = jnp.concatenate(
+            [sgm_pallas.census_words(wa[:, ::-1], p.census_ksize,
+                                     p.census_wsize, mirror=True,
+                                     interpret=interpret),
+             sgm_pallas.census_words(wb[:, ::-1], p.census_ksize,
+                                     p.census_wsize, mirror=True,
+                                     interpret=interpret)],
+            axis=1,
+        )
+
+    refine_p = _dc.replace(
+        p, mode="full", num_disparities=R, min_disparity=0, pack=4,
+        speckle_window_size=0, median_ksize=1,
+    )
+    disp_r2, valid2, best2 = _compute_full(
+        left2, warped2, refine_p, cl_pre=cl2, crr_pre=crr2
+    )
+    drr2 = jnp.clip(jnp.round(disp_r2).astype(jnp.int32), 0, xs)
+    if impl == "xla":
+        shift_at2 = jnp.take_along_axis(shift2, xs - drr2, axis=1)
+    else:
+        from stereovision_tpu.ops import sgm_pallas
+
+        shift_at2 = sgm_pallas.shift_gather(
+            shift2, drr2, R, assume_clipped=True, interpret=interpret
+        )
+    # warp-ramp seam mask, both halves at once (see _refine_with_shift)
+    ds = jnp.abs(shift2[:, 1:] - shift2[:, :-1])
+    ds = jnp.pad(ds, ((0, 0), (1, 0)))
+    r_c = p.census_ksize // 2 + 2
+    dsp = jnp.pad(ds, ((0, 0), (r_c, r_c)), mode="edge")
+    var = sum(
+        jax.lax.slice_in_dim(dsp, i, i + ds.shape[1], axis=1)
+        for i in range(2 * r_c + 1)
+    )
+    ramp = (var >= 3.0).astype(jnp.float32)
+    if impl == "xla":
+        ramp_at2 = jnp.take_along_axis(ramp, xs - drr2, axis=1)
+    else:
+        from stereovision_tpu.ops import sgm_pallas
+
+        ramp_at2 = sgm_pallas.shift_gather(
+            ramp, drr2, R, assume_clipped=True, interpret=interpret
+        )
+    valid2 = valid2 & (ramp_at2 < 0.5)
+    disp2 = jnp.where(valid2, disp_r2 + shift_at2, float(p.min_disparity) - 1.0)
+    return (
+        (disp2[:H], valid2[:H], best2[:H]),
+        (disp2[H:], valid2[H:], best2[H:]),
+    )
 
 
 def exact_speckle_postpass(disp, params: SGMParams):

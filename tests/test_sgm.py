@@ -298,6 +298,44 @@ class TestHier2:
         agree = np.abs(d[6:-6, 40:-6] - np.asarray(d1)[6:-6, 40:-6])[both]
         assert np.median(agree) < 0.1
 
+    def test_stacked_two_window_refine_matches_sequential(self):
+        """hier2's stacked [warp_A; warp_B] refine must match two sequential
+        _refine_with_shift passes exactly — with paths=2 the rows are
+        independent, so stacking changes the kernel-launch count, not the
+        values (both impls)."""
+        import dataclasses
+
+        from stereovision_tpu.stereo.sgm import (
+            _refine_two_windows, _refine_with_shift,
+        )
+
+        rng = np.random.default_rng(21)
+        H, W = 96, 256
+        base = cv2.GaussianBlur(
+            rng.uniform(0, 255, (H, W + 40)).astype(np.float32), (5, 5), 1.0
+        )
+        left, right = jnp.asarray(base[:, :W]), jnp.asarray(base[:, 30:30 + W])
+        shift_a = jnp.asarray(
+            np.clip(np.round(24 + 4 * np.sin(np.arange(W) / 29.0))[None, :]
+                    * np.ones((H, 1)), 0, 32).astype(np.float32))
+        shift_b = shift_a + 6.0
+        for impl in ("xla", "pallas_interpret"):
+            p = SGMParams(num_disparities=64, mode="hier2", refine_range=32,
+                          paths=2, impl=impl)
+            (da, va, ba), (db, vb, bb) = _refine_two_windows(
+                left, right, shift_a, shift_b, p)
+            ra = _refine_with_shift(left, right, shift_a, p, mask_seams=True,
+                                    post=False)
+            rb = _refine_with_shift(left, right, shift_b, p, mask_seams=True,
+                                    post=False)
+            np.testing.assert_array_equal(np.asarray(da), np.asarray(ra[0]),
+                                          err_msg=f"disp_a {impl}")
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(ra[1]))
+            np.testing.assert_array_equal(np.asarray(ba), np.asarray(ra[2]))
+            np.testing.assert_array_equal(np.asarray(db), np.asarray(rb[0]),
+                                          err_msg=f"disp_b {impl}")
+            np.testing.assert_array_equal(np.asarray(vb), np.asarray(rb[1]))
+
     def test_fill_invalid_inpaints_and_reports_full_validity(self):
         """fill_invalid=True: remaining holes (LR-killed occlusions, seam
         masks) are inpainted from the nearest valid neighbor (ties to the
