@@ -923,8 +923,9 @@ def _compute_disparity_hier(left, right, p: SGMParams):
         if cl_arb is None:
             cl_arb = _census_words_for(left, p, impl)
         cr_arb = _census_words_for(right, p, impl)
-        cd_a = _census_distance(cl_arb, cr_arb, disp, p, impl)
-        cd_b = _census_distance(cl_arb, cr_arb, disp_b, p, impl)
+        cd_a, cd_b = _census_distance_multi(
+            cl_arb, cr_arb, [disp, disp_b], p, impl
+        )
         if p.census_kill > 0:
             valid = valid & (cd_a <= p.census_kill)
             valid_b = valid_b & (cd_b <= p.census_kill)
@@ -1058,6 +1059,23 @@ def _last_valid_scan(values, valid, axis: int, reverse: bool = False):
     return vs, has, dist
 
 
+def _census_distance_multi(cl, cr, disps, p: SGMParams, impl: str):
+    """:func:`_census_distance` over k candidate maps in ONE stacked gather
+    (per-row operation, so stacking rows is exact) — k−1 fewer kernel
+    launches. Returns the k distance maps."""
+    k = len(disps)
+    H = disps[0].shape[0]
+    stack = jnp.concatenate(disps, axis=0)
+    if impl == "xla":
+        cl_k = jnp.concatenate([cl[:H]] * k, axis=0)
+        cr_k = jnp.concatenate([cr[:H]] * k, axis=0)
+    else:
+        cl_k = jnp.concatenate([cl[:, :H]] * k, axis=1)
+        cr_k = jnp.concatenate([cr[:, :H]] * k, axis=1)
+    d = _census_distance(cl_k, cr_k, stack, p, impl)
+    return [d[i * H : (i + 1) * H] for i in range(k)]
+
+
 def _census_fill(disp, valid, d_up, cl, cr, p: SGMParams, impl: str):
     """Data-driven inpainting of invalid pixels (hier2's fill_invalid):
     candidate values are the min and max of the 4-direction nearest valid
@@ -1077,8 +1095,8 @@ def _census_fill(disp, valid, d_up, cl, cr, p: SGMParams, impl: str):
             hi = val if hi is None else jnp.maximum(hi, val)
     best_v = None
     best_cd = None
-    for cv in (lo, hi, d_up):
-        cdv = _census_distance(cl, cr, cv, p, impl)
+    cands = (lo, hi, d_up)
+    for cv, cdv in zip(cands, _census_distance_multi(cl, cr, list(cands), p, impl)):
         if best_v is None:
             best_v, best_cd = cv, cdv
         else:
