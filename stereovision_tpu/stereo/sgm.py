@@ -1281,6 +1281,9 @@ def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
         from stereovision_tpu.ops import sgm_pallas
 
         cl2 = jnp.concatenate([cl1, cl1], axis=1)
+        # per-half censuses (NOT one call over the stack): keeps per-image
+        # replicate-border semantics at the A/B boundary — and the single-call
+        # form measured no faster anyway (ratio 1.589 vs 1.591)
         crr2 = jnp.concatenate(
             [sgm_pallas.census_words(wa[:, ::-1], p.census_ksize,
                                      p.census_wsize, mirror=True,
