@@ -1,7 +1,7 @@
 """Headline benchmark: disparity frames/s/chip at 720p vs the CPU reference.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, ...}
 
 - TPU side: this framework's production disparity engine
   (stereo.production_preset — the mode that beats the reference's accuracy
@@ -10,9 +10,21 @@ Prints ONE JSON line:
   fused three-method pipeline's per-stage ms (reference :3129-3151).
 - Baseline: a CPU re-run of the reference's exact cv2.StereoSGBM recipe
   (depth_map.py:894-909) on the same pair, per BASELINE.md.
+
+Measurement hardening (the shared TPU host's effective HBM bandwidth
+varies ~3-7× between minutes — see CLAUDE.md):
+- the WTA-stats formulation is AUTOTUNED on-chip per session
+  (stereo.autotune): the Pallas form wins quiet, the XLA form under
+  contention (32.7 vs 4.9 ms/frame measured in one loaded window);
+- prod + a fixed yardstick mode + the CPU baseline are timed INTERLEAVED
+  in one process, best-of over trials spread across BENCH_WINDOW_S
+  seconds (default 240), so a load burst cannot define the artifact;
+- extra keys record the yardstick and a cache-resident matmul probe so a
+  loaded window is visible in the artifact itself.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -26,54 +38,16 @@ def make_pair():
     rng = np.random.default_rng(0)
     base = rng.uniform(0, 255, size=(H, W + 16)).astype(np.float32)
     # correlated texture so both engines behave like on natural images
-    k = np.ones((5, 5), np.float32) / 25
     try:
         import cv2
 
         base = cv2.GaussianBlur(base, (5, 5), 1.0)
     except Exception:
         pass
-    del k
     return base[:, :W], base[:, 8 : 8 + W]
 
 
-def bench_tpu(left_np, right_np):
-    import jax
-    import jax.numpy as jnp
-
-    from stereovision_tpu.stereo import compute_disparity_batch, production_preset
-
-    # the production engine (stereo.production_preset): the reference's full
-    # 320-disparity search as a dual-window coarse-to-fine (hier2, R=32
-    # pack=4 refines, horizontal path family, 1/3-scale coarse pass) with
-    # census-evidence cross-window arbitration and data-driven invalid fill.
-    # This is the configuration that BEATS the cv2 reference's bad2 on every
-    # quality scene (scripts/eval_quality.py --modes prod) — the headline is
-    # a quality-parity mode, not a speed-only one.
-    params = production_preset()
-    left = jnp.stack([jnp.asarray(left_np)] * BATCH)
-    right = jnp.stack([jnp.asarray(right_np)] * BATCH)
-    fn = jax.jit(lambda ls, rs: compute_disparity_batch(ls, rs, params))
-    disp, _ = fn(left, right)
-    float(jnp.sum(disp))  # force full execution through the async tunnel
-    # best-of-trials spread over ~90 s: the shared TPU host's load varies
-    # several-fold on a minutes scale; a burst should not define the recorded
-    # throughput (measured: identical code at 4.9 and 32 ms/frame an hour
-    # apart purely from external load)
-    best = float("inf")
-    for trial in range(5):
-        n = 6  # amortize the ~30 ms tunnel readback over n*BATCH frames
-        t0 = time.perf_counter()
-        for _ in range(n):
-            disp, _ = fn(left, right)
-        float(jnp.sum(disp))
-        best = min(best, (time.perf_counter() - t0) / (n * BATCH))
-        if trial < 4:
-            time.sleep(20)
-    return 1.0 / best
-
-
-def bench_cpu_reference(left_np, right_np):
+def make_cpu_runner(left_np, right_np):
     import cv2
 
     sgbm = cv2.StereoSGBM_create(
@@ -84,12 +58,105 @@ def bench_cpu_reference(left_np, right_np):
     )
     lu8, ru8 = left_np.astype(np.uint8), right_np.astype(np.uint8)
     sgbm.compute(lu8, ru8)
-    n = 3
-    t0 = time.perf_counter()
-    for _ in range(n):
-        sgbm.compute(lu8, ru8)
-    dt = (time.perf_counter() - t0) / n
-    return 1.0 / dt
+
+    def run(n=2):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            sgbm.compute(lu8, ru8)
+        return (time.perf_counter() - t0) / n
+
+    return run
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__) or ".",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from stereovision_tpu.stereo import (compute_disparity_batch,
+                                         production_preset, reference_preset)
+    from stereovision_tpu.stereo.autotune import tune_stats_impl
+
+    left_np, right_np = make_pair()
+    cpu_run = make_cpu_runner(left_np, right_np)
+
+    prod = tune_stats_impl(production_preset())
+    yard = dataclasses.replace(
+        reference_preset("hier"), refine_range=32, paths=2,
+        stats_impl=prod.stats_impl)
+    left = jnp.stack([jnp.asarray(left_np)] * BATCH)
+    right = jnp.stack([jnp.asarray(right_np)] * BATCH)
+    f_prod = jax.jit(lambda ls, rs: compute_disparity_batch(ls, rs, prod))
+    f_yard = jax.jit(lambda ls, rs: compute_disparity_batch(ls, rs, yard))
+    mm_w = jnp.ones((2048, 2048), jnp.bfloat16)
+
+    def _mm(a):
+        for _ in range(50):
+            a = a @ mm_w
+        return a
+
+    f_mm = jax.jit(_mm)
+    for f in (f_prod, f_yard):
+        d, _ = f(left, right)
+        float(jnp.sum(d))  # forced readback: block_until_ready is
+    float(jnp.sum(f_mm(mm_w).astype(jnp.float32)[:1, :1]))  # tunnel-unreliable
+
+    window_s = float(os.environ.get("BENCH_WINDOW_S", "240"))
+    trials = max(3, int(os.environ.get("BENCH_TRIALS", "8")))
+    best = {"prod": float("inf"), "yard": float("inf"),
+            "mm": float("inf"), "cpu": float("inf")}
+    t_start = time.perf_counter()
+    for trial in range(trials):
+        n = 6  # amortize the ~30 ms tunnel readback over n*BATCH frames
+        t0 = time.perf_counter()
+        for _ in range(n):
+            d, _ = f_prod(left, right)
+        float(jnp.sum(d))
+        best["prod"] = min(best["prod"],
+                           (time.perf_counter() - t0) / (n * BATCH))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            d, _ = f_yard(left, right)
+        float(jnp.sum(d))
+        best["yard"] = min(best["yard"], (time.perf_counter() - t0) / (3 * BATCH))
+        t0 = time.perf_counter()
+        z = f_mm(mm_w)
+        float(jnp.sum(z.astype(jnp.float32)[:1, :1]))
+        best["mm"] = min(best["mm"], time.perf_counter() - t0)
+        best["cpu"] = min(best["cpu"], cpu_run())
+        elapsed = time.perf_counter() - t_start
+        if trial < trials - 1 and elapsed < window_s:
+            time.sleep(min(window_s / (trials - 1), window_s - elapsed))
+
+    tpu_fps = 1.0 / best["prod"]
+    cpu_fps = 1.0 / best["cpu"]
+    line = {
+        "metric": "disparity_720p_d320_frames_per_second_per_chip",
+        "value": round(tpu_fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(tpu_fps / cpu_fps, 2),
+        "cpu_baseline_fps": round(cpu_fps, 2),
+        "stats_impl": prod.stats_impl,
+        # load diagnostics: yardstick quiet-best is ~4.9 ms/frame, the
+        # cache-resident matmul chain ~8 ms — a loaded window shows here
+        "yardstick_ms": round(best["yard"] * 1e3, 2),
+        "prod_ms": round(best["prod"] * 1e3, 2),
+        "mm50_2048_ms": round(best["mm"] * 1e3, 2),
+    }
+    try:
+        fused = bench_fused(left_np, right_np)
+        if fused:
+            line["fused"] = fused
+    except Exception as e:  # never let the fused section break the headline
+        line["fused_error"] = str(e)[:200]
+    print(json.dumps(line))
 
 
 def bench_fused(left_np, right_np):
@@ -156,34 +223,18 @@ def bench_fused(left_np, right_np):
     res["fuse_ms"] = timeit(
         lambda i: fuse_depth_maps(sd, sc, sd, sc, sd, jnp.asarray(True),
                                   pipe.fusion_params))
+    # e2e: warm up FIRST — the initial pipe() call compiles every program the
+    # frame loop dispatches (minutes over the tunnel); r03 recorded 0.15 fps
+    # because compilation sat inside the timed loop
+    out = pipe(left_np, right_np, t_now=0.0)
+    float(jnp.sum(out["fused"]))
     t0 = time.perf_counter()
     n = 10
-    out = None
     for i in range(n):
-        out = pipe(left_np, right_np, t_now=0.1 * i)
-    import jax.numpy as _j
-    float(_j.sum(out["fused"]))
+        out = pipe(left_np, right_np, t_now=0.1 * (i + 1))
+    float(jnp.sum(out["fused"]))
     res["e2e_fps"] = round(n / (time.perf_counter() - t0), 2)
     return {k: (round(v, 2) if isinstance(v, float) else v) for k, v in res.items()}
-
-
-def main():
-    left, right = make_pair()
-    cpu_fps = bench_cpu_reference(left, right)
-    tpu_fps = bench_tpu(left, right)
-    line = {
-        "metric": "disparity_720p_d320_frames_per_second_per_chip",
-        "value": round(tpu_fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(tpu_fps / cpu_fps, 2),
-    }
-    try:
-        fused = bench_fused(left, right)
-        if fused:
-            line["fused"] = fused
-    except Exception as e:  # never let the fused section break the headline
-        line["fused_error"] = str(e)[:200]
-    print(json.dumps(line))
 
 
 if __name__ == "__main__":

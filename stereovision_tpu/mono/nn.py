@@ -22,7 +22,7 @@ from stereovision_tpu.models.midas import MidasSmall
 
 
 def create_model(seed: int = 0, net_hw=(256, 256), pretrained: bool = True,
-                 arch: str = "small", torch_state_dict=None):
+                 arch: str = "small", torch_state_dict=None, dpt_cfg=None):
     """Build the model; load the bundled synthetic-pretrained weights when
     available (``models/pretrained/midas_synthetic.msgpack``, trained offline by
     ``models.train_synthetic`` — the torch-hub download the reference performs
@@ -37,9 +37,32 @@ def create_model(seed: int = 0, net_hw=(256, 256), pretrained: bool = True,
       validated against the vendored manifest and loaded by name — the
       drop-in path for the day network access exists
       (reference fused_depth_map.py:1091-1098).
+    - "dpt_large": the EXACT DPT_Large architecture (models.dpt) — the
+      reference mono demo's second model option
+      (MONO/mono_depth_map_ai.py:24-69); same manifest-validated
+      ``torch_state_dict`` drop-in path. ``dpt_cfg`` overrides the
+      architecture config (tests use models.dpt.DPT_TINY).
     """
     from pathlib import Path
 
+    def _load_sd(sd):
+        if isinstance(sd, (str, Path)):
+            import torch
+
+            raw = torch.load(sd, map_location="cpu")
+            return raw.get("state_dict", raw) if isinstance(raw, dict) else raw
+        return sd
+
+    if arch == "dpt_large":
+        from stereovision_tpu.models.dpt import (DPT_LARGE, create_dpt,
+                                                 load_dpt_state_dict)
+
+        cfg = DPT_LARGE if dpt_cfg is None else dpt_cfg
+        model, variables = create_dpt(seed, net_hw, cfg)
+        if torch_state_dict is not None:
+            variables = load_dpt_state_dict(
+                variables, _load_sd(torch_state_dict), cfg)
+        return model, variables
     if arch == "midas_v21_small":
         from stereovision_tpu.models.midas_v21 import create_v21, load_v21_state_dict
 

@@ -1113,12 +1113,20 @@ def sum_wta(
     )
 
 
-def _wta_lanes_kernel(hf_ref, hb_ref, *out_refs, d_valid: int, dg: int, groups: int):
+def _wta_lanes_kernel(hf_ref, hb_ref, stats_ref, idx_ref, *, d_valid: int,
+                      dg: int, groups: int, bh: int):
     # One read of the two int8 dual volumes; all five winner statistics as
     # LANE-dim reductions (cheap on VPU) over each group's STATIC lane slice.
     # The XLA formulation re-reads the int32 summed volume once per statistic
     # (~5×120 MB at the 720p refine shapes — measured +3.3 ms/frame); this
     # kernel is one ~60 MB pass.
+    #
+    # All 4·groups float statistic maps leave through ONE lane-packed output
+    # buffer (plus one for the int idx maps) — the original 5·groups separate
+    # (BW, BH) outputs meant 22 tiny DMA transfers per grid step, which is
+    # latency- not bandwidth-bound and measured 8× slower than the peer
+    # kernels when the shared host's HBM is contended (31.8 vs ~4 ms at the
+    # 720p refine shapes under a ~6× load window; bandwidth-equal otherwise).
     s = hf_ref[:].astype(jnp.int32) + hb_ref[:].astype(jnp.int32)  # (BW, BH, D)
     dp = 1
     while dp < dg:
@@ -1136,12 +1144,10 @@ def _wta_lanes_kernel(hf_ref, hb_ref, *out_refs, d_valid: int, dg: int, groups: 
         comp = jnp.min(
             jnp.where(jnp.abs(dl - idx[..., None]) > 1, sg, _BIGI), axis=-1
         )
-        o = out_refs[5 * g : 5 * g + 5]
-        o[0][:] = best.astype(jnp.float32)
-        o[1][:] = idx
-        o[2][:] = cm.astype(jnp.float32)
-        o[3][:] = cp.astype(jnp.float32)
-        o[4][:] = comp.astype(jnp.float32)
+        for k, val in enumerate((best, cm, cp, comp)):
+            stats_ref[:, (k * groups + g) * bh:(k * groups + g + 1) * bh] = (
+                val.astype(jnp.float32))
+        idx_ref[:, g * bh:(g + 1) * bh] = idx
 
 
 @functools.partial(
@@ -1175,39 +1181,53 @@ def wta_stats_from_duals(
     spec3 = pl.BlockSpec(
         (block_w, block_h, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
-    out_specs = []
-    out_shape = []
-    for g in range(groups):
-        for dt in (jnp.float32, jnp.int32, jnp.float32, jnp.float32, jnp.float32):
-            out_specs.append(
-                pl.BlockSpec(
-                    (block_w, block_h),
-                    lambda i, j, g=g: (i, g * nh + j),
-                    memory_space=pltpu.VMEM,
-                )
-            )
-            out_shape.append(
-                jax.ShapeDtypeStruct((nw * block_w, groups * nh * block_h), dt)
-            )
-    outs = pl.pallas_call(
+    # two lane-packed outputs (4·groups f32 stat maps; groups int32 idx maps):
+    # block (i, j) covers every map's rows [i·BW, (i+1)·BW) for the H-chunk j
+    stats_spec = pl.BlockSpec(
+        (block_w, 4 * groups * block_h), lambda i, j: (i, j),
+        memory_space=pltpu.VMEM,
+    )
+    idx_spec = pl.BlockSpec(
+        (block_w, groups * block_h), lambda i, j: (i, j),
+        memory_space=pltpu.VMEM,
+    )
+    stats, idxs = pl.pallas_call(
         functools.partial(
-            _wta_lanes_kernel, d_valid=d_valid, dg=dg, groups=groups
+            _wta_lanes_kernel, d_valid=d_valid, dg=dg, groups=groups,
+            bh=block_h,
         ),
         grid=(nw, nh),
         in_specs=[spec3, spec3],
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
+        out_specs=(stats_spec, idx_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nw * block_w, nh * 4 * groups * block_h),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((nw * block_w, nh * groups * block_h),
+                                 jnp.int32),
+        ),
         interpret=interpret,
     )(hf_t, hb_t)
+    # unpack: (nw·BW, nh, 4·groups, BH) → per (stat, group) an (H, W) map
+    stats = jnp.reshape(stats, (nw * block_w, nh, 4 * groups, block_h))
+    idxs = jnp.reshape(idxs, (nw * block_w, nh, groups, block_h))
+
+    def fmap(packed, k):
+        m = jnp.reshape(
+            jnp.transpose(packed[:, :, k, :], (1, 2, 0)), (nh * block_h, -1)
+        )
+        return m[:H, :W]
+
     res = []
     for g in range(groups):
-        grp = []
-        for k in range(5):
-            m = outs[5 * g + k][:W, g * nh * block_h : g * nh * block_h + H]
-            grp.append(jnp.transpose(m, (1, 0)))
-        res.append(grp)
+        best = fmap(stats, 0 * groups + g)
+        cm = fmap(stats, 1 * groups + g)
+        cp = fmap(stats, 2 * groups + g)
+        comp = fmap(stats, 3 * groups + g)
+        idx = fmap(idxs, g)
+        res.append((best, idx, cm, cp, comp))
     best, idx, cm, cp, comp = (
-        jnp.concatenate(parts, axis=0) for parts in zip(*res)
+        jnp.concatenate(parts, axis=0) if groups > 1 else parts[0]
+        for parts in zip(*res)
     )
     return best, idx, cm, cp, comp
 

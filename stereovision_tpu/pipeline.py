@@ -48,6 +48,9 @@ class DepthPipeline:
         self._speckle_params = params
         if self._exact_speckle:
             params = dataclasses.replace(params, speckle_window_size=0)
+        from stereovision_tpu.stereo.autotune import tune_stats_impl
+
+        params = tune_stats_impl(params)  # resolve stats_impl="auto" on-chip
         size = tuple(int(v) for v in cal["img_size"])
         self.size = size
         if proc_scale != 1.0:

@@ -100,6 +100,14 @@ class SGMParams:
     # work). Mainly useful for the hier refine, where the coarse pass already
     # fixed global structure and lane packing shortens vertical paths anyway.
     paths: int = 4
+    # paths=2 WTA-statistics formulation: "pallas" = the one-pass
+    # lane-reduction kernel (fastest on a quiet chip: one ~60 MB volume read);
+    # "xla" = the transpose-first XLA formulation (_sum_wta_st_first). Under
+    # shared-host HBM contention the Pallas kernel's per-group masked lane
+    # reductions degrade ~20× while the XLA streaming form degrades only ~4×
+    # (measured 30 vs 4.4 ms at the 720p refine shapes in a loaded window) —
+    # "auto" lets DepthPipeline/bench autotune the choice per session.
+    stats_impl: str = "pallas"
     # horizontal-aggregation column segmentation (paths=2 only): the scan
     # restarts every W/agg_wseg columns, with the segments stacked along the
     # row axis. Built on the theory that shorter carry chains with more
@@ -133,6 +141,11 @@ def production_preset() -> "SGMParams":
     return SGMParams(
         num_disparities=320, mode="hier2", refine_range=32, paths=2,
         coarse_scale=3, census_kill=6.0, fill_invalid=True,
+        # "auto": DepthPipeline/bench probe the chip once per session and pin
+        # the faster WTA-stats formulation (stereo.autotune). Direct
+        # compute_disparity callers get the Pallas form (the quiet-chip
+        # winner) — resolution is the entry point's job, not the kernel's.
+        stats_impl="auto",
     )
 
 
@@ -496,7 +509,8 @@ def _cost_aggregate_pallas(left, right, p: SGMParams, interpret: bool):
         interpret=interpret,
     )
     hf_t, hb_t = dual(cost_t, axis=0)
-    if p.paths == 2 and (interpret or cost_t.shape[1] >= 128):
+    if p.paths == 2 and p.stats_impl != "xla" and (
+            interpret or cost_t.shape[1] >= 128):
         # one-pass lane-reduction stats kernel (see _disparity_core_packed)
         best, idx, cm, cp, comp = sgm_pallas.wta_stats_from_duals(
             hf_t, hb_t, d_valid=D, interpret=interpret
@@ -630,7 +644,8 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str,
     # scan is latency-bound, so per-step parallelism is the point
     hf_t, hb_t = dual(cost_t, axis=0,
                       block_x=cost_t.shape[1] if seg > 1 else None)
-    if p.paths == 2 and (interpret or cost_t.shape[1] >= 128):
+    if p.paths == 2 and p.stats_impl != "xla" and (
+            interpret or cost_t.shape[1] >= 128):
         # one-pass lane-reduction stats kernel + (if LR) the XLA s_t build:
         # the XLA stats formulation re-reads the summed volume per statistic
         # (measured +3.3 ms/frame at 720p)
@@ -1336,25 +1351,40 @@ def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
     )
 
 
-def exact_speckle_postpass(disp, params: SGMParams):
-    """Host-side EXACT cv2.filterSpeckles post-pass (4-connected components,
-    native/speckle.cpp) as an alternative to the windowed on-device
-    approximation of :func:`_speckle_suppress`.
+def exact_speckle_postpass(disp, params: SGMParams, impl: str = "device"):
+    """EXACT cv2.filterSpeckles post-pass (4-connected components) as an
+    alternative to the windowed on-device approximation of
+    :func:`_speckle_suppress`.
 
     Input: a finished disparity map (numpy or device, float px) whose invalid
     pixels already carry ``min_disparity − 1``; returns (disp, valid) with
     components ≤ speckle_window_size also set to ``min_disparity − 1``. Use
     with ``speckle_window_size=0`` engine params to replace (not stack) the
-    approximation. Blocks on the device value — meant for CPU pipelines and
-    offline evaluation, not the async streaming path.
+    approximation.
+
+    ``impl="device"`` (default): the jit log-depth CCL
+    (:mod:`stereo.speckle_ccl`) — stays on-device, async-safe.
+    ``impl="native"``: the host C++ flood fill (native/speckle.cpp) — kept
+    as the bit-parity cross-check and for numpy-only callers; blocks on the
+    device value.
     """
     import numpy as np
 
+    sentinel = float(params.min_disparity) - 1.0
+    if params.speckle_window_size <= 0:
+        d = jnp.asarray(disp, jnp.float32)
+        return d, d > sentinel
+    if impl == "device":
+        from stereovision_tpu.stereo.speckle_ccl import filter_speckles_exact
+
+        d, _ = filter_speckles_exact(
+            jnp.asarray(disp, jnp.float32), sentinel,
+            params.speckle_window_size, params.speckle_range)
+        return d, d > sentinel
     from stereovision_tpu.ops import native
 
     d = np.asarray(disp, np.float32)
-    sentinel = float(params.min_disparity) - 1.0
-    if params.speckle_window_size > 0 and native.available():
+    if native.available():
         d, _ = native.filter_speckles(
             d, sentinel, params.speckle_window_size, params.speckle_range
         )
