@@ -23,7 +23,18 @@ import numpy as np
 
 
 def build_tracks(frames, K, max_corners=512, seed=0):
-    """Match consecutive frames; link matches into tracks (landmark ids)."""
+    """Match consecutive frames; link matches into tracks (landmark ids).
+
+    Fully batched: corner detection/description runs as ONE vmapped device
+    call over the frame stack, consecutive-pair matching as one vmapped call
+    over the (F−1) pairs, and the sequential link stage is O(F) numpy
+    VECTOR steps (mutual-nearest matches are injective, so the per-corner
+    Python loop this replaces — r3's one remaining O(frames·corners) host
+    loop — was pure overhead).
+
+    Returns (kp (F, C, 2) np, track_of (F, C) np int64 with −1 = no track,
+    n_tracks, matches [(idx2_for_1, valid)] per consecutive pair).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -31,29 +42,30 @@ def build_tracks(frames, K, max_corners=512, seed=0):
         harris_corners, hog_descriptors, match_descriptors,
     )
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), len(frames))
-    kp, desc, score = [], [], []
-    for f in frames:
-        p, s = harris_corners(jnp.asarray(f), max_corners)
-        d = hog_descriptors(jnp.asarray(f), p)
-        kp.append(np.asarray(p))
-        desc.append(d)
-        score.append(s)
-    del keys
-    # link: track id per (frame, corner); -1 = unassigned
-    track_of = [np.full(max_corners, -1, np.int64) for _ in frames]
+    stack = jnp.asarray(np.stack(frames))
+    pts, scores = jax.vmap(lambda f: harris_corners(f, max_corners))(stack)
+    descs = jax.vmap(hog_descriptors)(stack, pts)
+    idx_all, valid_all = jax.vmap(match_descriptors)(
+        descs[:-1], descs[1:], scores[:-1], scores[1:]
+    )
+    kp = np.asarray(pts)
+    idx_all = np.asarray(idx_all)
+    valid_all = np.asarray(valid_all)
+
+    F = len(frames)
+    track_of = np.full((F, max_corners), -1, np.int64)
     n_tracks = 0
-    for f in range(len(frames) - 1):
-        idx, valid = match_descriptors(desc[f], desc[f + 1], score[f], score[f + 1])
-        idx, valid = np.asarray(idx), np.asarray(valid)
-        for i in np.nonzero(valid)[0]:
-            t = track_of[f][i]
-            if t < 0:
-                t = n_tracks
-                n_tracks += 1
-                track_of[f][i] = t
-            track_of[f + 1][idx[i]] = t
-    return kp, track_of, n_tracks
+    for f in range(F - 1):
+        idx, valid = idx_all[f], valid_all[f]
+        new = valid & (track_of[f] < 0)
+        n_new = int(new.sum())
+        # new ids in ascending corner order (the exact order the scalar
+        # loop assigned them — outputs are bit-identical)
+        track_of[f][new] = n_tracks + np.arange(n_new)
+        n_tracks += n_new
+        track_of[f + 1][idx[valid]] = track_of[f][valid]
+    matches = [(idx_all[f], valid_all[f]) for f in range(F - 1)]
+    return kp, track_of, n_tracks, matches
 
 
 def main(argv=None):
@@ -91,32 +103,29 @@ def main(argv=None):
     frames = [_imread_gray(p) for p in files]
     K = np.array([[args.fx, 0, args.cx], [0, args.fy, args.cy], [0, 0, 1]])
     print(f"[sfm] {len(frames)} frames; tracking…")
-    kp, track_of, n_tracks = build_tracks(frames, K)
+    kp, track_of, n_tracks, matches = build_tracks(frames, K)
 
     # keep tracks observed in ≥ min_track_length frames
-    counts = np.zeros(n_tracks, np.int64)
-    for t in track_of:
-        counts[t[t >= 0]] += 1
+    counts = np.bincount(track_of[track_of >= 0], minlength=max(n_tracks, 1))
     keep = np.nonzero(counts >= args.min_track_length)[0]
-    remap = {t: i for i, t in enumerate(keep)}
+    remap_arr = np.full(max(n_tracks, 1), -1, np.int64)
+    remap_arr[keep] = np.arange(len(keep))
     L = len(keep)
     print(f"[sfm] {n_tracks} raw tracks → {L} with length ≥ {args.min_track_length}")
     if L < 20:
         raise SystemExit("too few stable tracks — more texture or frames needed")
 
-    # incremental pose init from consecutive essential matrices
+    # incremental pose init from consecutive essential matrices. The matched
+    # pairs come straight from build_tracks' mutual matches (the old code
+    # re-derived them by scanning track ids per corner — O(F·C²) host work);
+    # per-pair RANSAC+pose still runs sequentially because each relative pose
+    # chains onto the previous absolute pose.
     F = len(frames)
     poses = np.zeros((F, 6))
     key = jax.random.PRNGKey(1)
     for f in range(F - 1):
-        m1, m2 = [], []
-        for i in np.nonzero(track_of[f] >= 0)[0]:
-            t = track_of[f][i]
-            j = np.nonzero(track_of[f + 1] == t)[0]
-            if len(j):
-                m1.append(kp[f][i])
-                m2.append(kp[f + 1][j[0]])
-        m1, m2 = np.asarray(m1), np.asarray(m2)
+        idx, valid = matches[f]
+        m1, m2 = kp[f][valid], kp[f + 1][idx[valid]]
         if len(m1) < 16:
             poses[f + 1] = poses[f]
             continue
@@ -136,42 +145,54 @@ def main(argv=None):
         )
         poses[f + 1] = np.concatenate([np.asarray(rf), np.asarray(tf)])
 
-    # observation tensors (fixed M slots per frame)
-    M = max(int((np.asarray([np.sum(np.isin(t, keep)) for t in track_of])).max()), 8)
+    # observation tensors (fixed M slots per frame) — vector ops per frame:
+    # corners with a kept track pack into ascending-corner slot order (the
+    # order the scalar fill produced)
+    lid_of = np.where(track_of >= 0, remap_arr[np.clip(track_of, 0, None)], -1)
+    sel = lid_of >= 0  # (F, C)
+    M = max(int(sel.sum(axis=1).max()), 8)
     obs_uv = np.zeros((F, M, 2))
     obs_lid = np.zeros((F, M), np.int32)
     obs_mask = np.zeros((F, M), bool)
     for f in range(F):
-        slot = 0
-        for i in np.nonzero(track_of[f] >= 0)[0]:
-            t = track_of[f][i]
-            if t in remap:
-                obs_uv[f, slot] = kp[f][i]
-                obs_lid[f, slot] = remap[t]
-                obs_mask[f, slot] = True
-                slot += 1
+        ii = np.nonzero(sel[f])[0]
+        obs_uv[f, : len(ii)] = kp[f][ii]
+        obs_lid[f, : len(ii)] = lid_of[f][ii]
+        obs_mask[f, : len(ii)] = True
 
-    # landmark init: midpoint triangulation from the first two observations
-    landmarks = np.zeros((L, 3))
-    eye34 = np.hstack([np.eye(3), np.zeros((3, 1))])
-    for l in range(L):
-        fs = [f for f in range(F) if (obs_mask[f] & (obs_lid[f] == l)).any()]
-        if len(fs) < 2:
-            landmarks[l] = [0, 0, 10]
-            continue
-        f1, f2 = fs[0], fs[-1]
-
-        def pmat(f):
-            R = np.asarray(geom.rodrigues(jnp.asarray(poses[f, :3])))
-            return K @ np.hstack([R, poses[f, 3:][:, None]])
-
-        uv1 = obs_uv[f1][obs_lid[f1] == l][0]
-        uv2 = obs_uv[f2][obs_lid[f2] == l][0]
-        X = np.asarray(geom.triangulate(
-            jnp.asarray(pmat(f1)), jnp.asarray(pmat(f2)),
-            jnp.asarray(uv1), jnp.asarray(uv2)))
-        landmarks[l] = np.clip(X, -100, 100)
-    del eye34
+    # landmark init: triangulate every landmark from its first and last
+    # observation in ONE batched call (the old per-landmark loop dispatched
+    # a jitted triangulation per landmark)
+    fgrid = np.broadcast_to(np.arange(F)[:, None], (F, M))
+    mm = obs_mask.reshape(-1)
+    lids = obs_lid.reshape(-1)[mm]
+    fs_m = fgrid.reshape(-1)[mm]
+    flat_uv = obs_uv.reshape(-1, 2)[mm]
+    order = np.argsort(fs_m, kind="stable")
+    first_f = np.full(L, -1, np.int64)
+    first_uv = np.zeros((L, 2))
+    last_f = np.full(L, -1, np.int64)
+    last_uv = np.zeros((L, 2))
+    # fancy-index assignment keeps the LAST write per landmark: descending
+    # frame order makes the smallest frame win for "first", ascending for
+    # "last"
+    o = order[::-1]
+    first_f[lids[o]] = fs_m[o]
+    first_uv[lids[o]] = flat_uv[o]
+    o = order
+    last_f[lids[o]] = fs_m[o]
+    last_uv[lids[o]] = flat_uv[o]
+    two_obs = (first_f >= 0) & (last_f > first_f)
+    Rs = np.asarray(jax.vmap(geom.rodrigues)(jnp.asarray(poses[:, :3])))
+    pmats = np.einsum("ij,fjk->fik", K,
+                      np.concatenate([Rs, poses[:, 3:, None]], axis=2))
+    f1 = np.clip(first_f, 0, None)
+    f2 = np.clip(last_f, 0, None)
+    X = np.asarray(jax.vmap(geom.triangulate)(
+        jnp.asarray(pmats[f1]), jnp.asarray(pmats[f2]),
+        jnp.asarray(first_uv), jnp.asarray(last_uv)))
+    landmarks = np.where(two_obs[:, None], np.clip(X, -100, 100),
+                         np.array([0.0, 0.0, 10.0]))
 
     n_dev = len(jax.devices())
     frame_axis = 1
