@@ -45,6 +45,14 @@ def create_model(seed: int = 0, net_hw=(256, 256), pretrained: bool = True,
     """
     from pathlib import Path
 
+    def _commit(model, variables):
+        # Pin the variables device-side ONCE. Checkpoint/port paths hand back
+        # host numpy leaves, and jit re-uploads those every call — measured
+        # 194 ms/frame over the axon tunnel for a 2.4 ms forward (r3's
+        # midas_ms=260 artifact). device_put makes the steady-state call
+        # weight-transfer-free.
+        return model, jax.device_put(variables)
+
     def _load_sd(sd):
         if isinstance(sd, (str, Path)):
             import torch
@@ -62,7 +70,7 @@ def create_model(seed: int = 0, net_hw=(256, 256), pretrained: bool = True,
         if torch_state_dict is not None:
             variables = load_dpt_state_dict(
                 variables, _load_sd(torch_state_dict), cfg)
-        return model, variables
+        return _commit(model, variables)
     if arch == "midas_v21_small":
         from stereovision_tpu.models.midas_v21 import create_v21, load_v21_state_dict
 
@@ -74,7 +82,7 @@ def create_model(seed: int = 0, net_hw=(256, 256), pretrained: bool = True,
                 sd = torch.load(torch_state_dict, map_location="cpu")
                 torch_state_dict = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
             variables = load_v21_state_dict(variables, torch_state_dict)
-        return model, variables
+        return _commit(model, variables)
     if arch != "small":
         raise ValueError(f"unknown mono-depth arch '{arch}'")
     model = MidasSmall()
@@ -86,7 +94,7 @@ def create_model(seed: int = 0, net_hw=(256, 256), pretrained: bool = True,
             from stereovision_tpu.models.checkpoint import load_variables
 
             variables = load_variables(path, variables)
-    return model, variables
+    return _commit(model, variables)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "net_hw"))
