@@ -223,17 +223,43 @@ def bench_fused(left_np, right_np):
     res["fuse_ms"] = timeit(
         lambda i: fuse_depth_maps(sd, sc, sd, sc, sd, jnp.asarray(True),
                                   pipe.fusion_params))
-    # e2e: warm up FIRST — the initial pipe() call compiles every program the
-    # frame loop dispatches (minutes over the tunnel); r03 recorded 0.15 fps
-    # because compilation sat inside the timed loop
-    out = pipe(left_np, right_np, t_now=0.0)
+    # e2e: the streaming chunk form — one uint8 upload + ONE compiled program
+    # (lax.scan, on-device occlusion hysteresis) per 10-frame chunk. Warm up
+    # FIRST: r03 recorded 0.15 fps because first-call compilation sat inside
+    # the timed loop. Per-frame dict-call fps is also recorded; on this
+    # tunnel-attached host it is bounded by the ~220 ms/frame f32 host→device
+    # upload, which the chunk form amortizes.
+    n = 10
+    lefts = np.stack([left_np] * n).astype(np.uint8)
+    rights = np.stack([right_np] * n).astype(np.uint8)
+    outs = pipe.stream(lefts, rights, t0=0.0)  # compile + warm
+    float(jnp.sum(outs["fused"]))
+    t0 = time.perf_counter()
+    outs = pipe.stream(lefts, rights, t0=1.0)
+    outs = pipe.stream(lefts, rights, t0=2.0)
+    float(jnp.sum(outs["fused"]))
+    res["e2e_fps"] = round(2 * n / (time.perf_counter() - t0), 2)
+    # host-link diagnostic: time the chunk upload alone. On this tunnel it
+    # runs ~17 MB/s (≈110 ms per 720p uint8 pair), which bounds e2e_fps; a
+    # PCIe-attached host moves the same bytes in <1 ms — compare e2e_fps with
+    # 1000/upload_ms_per_frame to see whether the link or compute binds.
+    t0 = time.perf_counter()
+    dl = jax.device_put(lefts)
+    dr = jax.device_put(rights)
+    float(jnp.sum(dl[0].astype(jnp.float32)[:1, :1]) + jnp.sum(dr[0].astype(jnp.float32)[:1, :1]))
+    res["upload_ms_per_frame"] = round((time.perf_counter() - t0) / n * 1e3, 2)
+    # compute-only: same chunk already device-resident
+    t0 = time.perf_counter()
+    outs = pipe.stream(dl, dr, t0=3.0)
+    float(jnp.sum(outs["fused"]))
+    res["e2e_device_resident_fps"] = round(n / (time.perf_counter() - t0), 2)
+    out = pipe(left_np, right_np, t_now=100.0)
     float(jnp.sum(out["fused"]))
     t0 = time.perf_counter()
-    n = 10
-    for i in range(n):
-        out = pipe(left_np, right_np, t_now=0.1 * (i + 1))
+    for i in range(3):
+        out = pipe(left_np, right_np, t_now=100.1 * (i + 1))
     float(jnp.sum(out["fused"]))
-    res["e2e_fps"] = round(n / (time.perf_counter() - t0), 2)
+    res["e2e_perframe_fps"] = round(3 / (time.perf_counter() - t0), 2)
     return {k: (round(v, 2) if isinstance(v, float) else v) for k, v in res.items()}
 
 

@@ -1,6 +1,10 @@
 from stereovision_tpu.fusion.occlusion import (  # noqa: F401
     occlusion_scores,
     classify_occlusion,
+    classify_occlusion_code,
+    hysteresis_init,
+    hysteresis_update,
+    OCCLUSION_CODES,
     OcclusionHysteresis,
 )
 from stereovision_tpu.fusion.calibrate import (  # noqa: F401

@@ -57,6 +57,42 @@ def occlusion_scores(left_gray: jax.Array, right_gray: jax.Array):
     return left, right
 
 
+# state codes shared by the traced decision/hysteresis (pipeline.stream's
+# on-device form) and the host-side strings: 0 none, 1 left, 2 right, 3 both.
+OCCLUSION_CODES = ("none", "left", "right", "both")
+
+
+def classify_occlusion_code(left_score, right_score, threshold: float = 0.45):
+    """Traced form of :func:`classify_occlusion` → int32 state code."""
+    ls, rs = jnp.float32(left_score), jnp.float32(right_score)
+    t = jnp.float32(threshold)
+    left = (ls > t) & (rs < t * 0.6)
+    right = (rs > t) & (ls < t * 0.6)
+    both = (ls > t) & (rs > t)
+    return jnp.where(left, 1, jnp.where(right, 2, jnp.where(both, 3, 0))).astype(jnp.int32)
+
+
+def hysteresis_init(state_code: int = 0):
+    """(state, pending, count) int32 carry for the traced hysteresis."""
+    return (jnp.int32(state_code), jnp.int32(state_code), jnp.int32(0))
+
+
+def hysteresis_update(carry, detected, confirm_frames: int = 5):
+    """Traced twin of :meth:`OcclusionHysteresis.update` — bit-identical state
+    machine over int32 codes, usable inside lax.scan."""
+    state, pending, count = carry
+    same = detected == state
+    matches_pending = detected == pending
+    new_pending = jnp.where(same, state, jnp.where(matches_pending, pending, detected))
+    new_count = jnp.where(
+        same, 0, jnp.where(matches_pending, count + 1, jnp.int32(1)))
+    flip = new_count >= confirm_frames
+    new_state = jnp.where(same, state, jnp.where(flip, new_pending, state))
+    new_count = jnp.where(flip, 0, new_count)
+    return (new_state.astype(jnp.int32), new_pending.astype(jnp.int32),
+            new_count.astype(jnp.int32))
+
+
 def classify_occlusion(left_score: float, right_score: float, threshold: float = 0.45) -> str:
     """'none' / 'left' / 'right' / 'both' (reference decision tree :287-299)."""
     if left_score > threshold and right_score < threshold * 0.6:

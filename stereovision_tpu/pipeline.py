@@ -256,6 +256,95 @@ def _fused_step(
     return out, new_flow_state, (ls, rs)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "proc", "sgm", "fusion_params", "flow_params", "model",
+        "use_midas", "use_flow",
+    ),
+)
+def _fused_stream(
+    lefts, rights, ts, mx1, my1, mx2, my2, variables, flow_state, hyst,
+    focal, baseline_cm, *, proc, sgm, fusion_params, flow_params, model,
+    use_midas, use_flow,
+):
+    """A chunk of frames as ONE program: lax.scan of the fused step over the
+    frame axis, with the occlusion hysteresis run on-device (traced int32
+    state machine — fusion.hysteresis_update, bit-identical to the host
+    OcclusionHysteresis).
+
+    This is the TPU-native throughput form: one host→device transfer and one
+    dispatch per chunk instead of per frame. Unlike the per-frame form (where
+    occlusion routing is a static recompile-cached branch), stereo is computed
+    every frame and its *participation* is a traced lax.cond — output
+    semantics identical, idle FLOPs only while a camera is occluded.
+    """
+    from stereovision_tpu.fusion import (
+        calibrate_midas_to_stereo, classify_occlusion_code, fuse_depth_maps,
+        fused_to_meters, hysteresis_update, normalize_to_stereo_range,
+        occlusion_scores,
+    )
+    from stereovision_tpu.mono import flow_depth_step
+    from stereovision_tpu.mono.nn import estimate_depth
+
+    h, w = proc[1], proc[0]
+
+    def step(carry, inp):
+        flow_st, hy = carry
+        left, right, t_now = inp
+        lr = im.remap(im.resize(left.astype(jnp.float32), (h, w)), mx1, my1)
+        rr = im.remap(im.resize(right.astype(jnp.float32), (h, w)), mx2, my2)
+        ls, rs = occlusion_scores(lr, rr)
+        hy = hysteresis_update(hy, classify_occlusion_code(ls, rs))
+        state = hy[0]
+
+        disp, sconf = disparity_with_confidence(lr, rr, sgm)
+        stereo_norm = jnp.clip(disp / sgm.num_disparities * 255.0, 0, 255)
+
+        md = midas_conf = None
+        if use_midas:
+            md, midas_conf = estimate_depth(
+                model, variables, jnp.stack([lr] * 3, axis=-1))
+
+        fd = None
+        moving = jnp.asarray(False)
+        if use_flow:
+            src = jnp.where(state == 1, rr, lr)  # left occluded → flow on right
+            flow_st, fd, has, mv = flow_depth_step(flow_st, src, t_now, flow_params)
+            moving = mv & has
+
+        def with_stereo(_):
+            md_cal = (calibrate_midas_to_stereo(md, stereo_norm, sconf)
+                      if use_midas else None)
+            fl = (normalize_to_stereo_range(fd, stereo_norm)
+                  if use_flow else None)
+            return fuse_depth_maps(
+                stereo_norm, sconf, md_cal, midas_conf, fl, moving,
+                fusion_params, have_stereo=True, have_midas=use_midas,
+                have_flow=use_flow)
+
+        def without_stereo(_):
+            if not (use_midas or use_flow):
+                z = jnp.zeros((h, w), jnp.float32)
+                return z, z, jnp.int32(0)
+            ref = md if use_midas else fd
+            fl = normalize_to_stereo_range(fd, ref) if use_flow else None
+            return fuse_depth_maps(
+                None, None, md, midas_conf, fl, moving, fusion_params,
+                have_stereo=False, have_midas=use_midas, have_flow=use_flow)
+
+        fused, conf, mode = jax.lax.cond(state == 0, with_stereo, without_stereo, None)
+        meters = fused_to_meters(
+            fused, focal, baseline_cm, num_disparities=float(sgm.num_disparities))
+        out = {"fused": fused, "confidence": conf, "meters": meters,
+               "mode": mode, "occlusion_code": state, "camera_moving": moving}
+        return (flow_st, hy), out
+
+    (flow_state, hyst), outs = jax.lax.scan(
+        step, (flow_state, hyst), (lefts, rights, ts))
+    return outs, flow_state, hyst
+
+
 class FusedPipeline:
     """The three-method fusion engine as a stateful streaming object
     (stereo + neural + motion depth, occlusion fallback) — the embeddable form
@@ -345,3 +434,47 @@ class FusedPipeline:
         # or serialize — the steady-state loop itself never blocks.
         out["occlusion"] = state
         return out
+
+    def stream(self, lefts, rights, t0: float = 0.0, dt: float = 1.0 / 30.0):
+        """Throughput form: process a CHUNK of frames as one host→device
+        transfer + one compiled program (lax.scan over the frame axis,
+        occlusion hysteresis on-device). Returns a dict of frame-stacked
+        outputs; flow/hysteresis state carries across chunks.
+
+        Pass uint8 stacks: the cast happens on device, so the host link moves
+        ¼ the bytes of float32 (the per-frame form's dominant cost on
+        bandwidth-constrained hosts)."""
+        from stereovision_tpu.fusion import OCCLUSION_CODES
+
+        def _as_dev(x):  # device arrays pass through (no host round-trip)
+            return x if isinstance(x, jax.Array) else jnp.asarray(np.ascontiguousarray(x))
+
+        lefts = _as_dev(lefts)
+        rights = _as_dev(rights)
+        n = lefts.shape[0]
+        ts = jnp.asarray(t0 + dt * np.arange(n, dtype=np.float32))
+        hy = self.hysteresis
+        hyst0 = tuple(
+            jnp.int32(v) for v in (
+                OCCLUSION_CODES.index(hy.state),
+                OCCLUSION_CODES.index(hy._pending), hy._count))
+        use_flow = self.flow_state is not None
+        outs, flow_state, hyst = _fused_stream(
+            lefts, rights, ts, *self.depth_pipe._maps,
+            self.variables, self.flow_state, hyst0,
+            jnp.float32(self.depth_pipe.focal),
+            jnp.float32(self.depth_pipe.baseline_m * 100.0),
+            proc=self.proc, sgm=self.sgm, fusion_params=self.fusion_params,
+            flow_params=self.flow_params, model=self.model,
+            use_midas=self.use_midas, use_flow=use_flow,
+        )
+        if use_flow:
+            self.flow_state = flow_state
+        self._frame += n
+        # sync the tiny hysteresis carry back into the host state machine
+        # (one 3-int readback per chunk)
+        st, pend, cnt = (int(v) for v in jax.device_get(hyst))
+        self.hysteresis.state = OCCLUSION_CODES[st]
+        self.hysteresis._pending = OCCLUSION_CODES[pend]
+        self.hysteresis._count = cnt
+        return outs

@@ -136,3 +136,49 @@ class TestOcclusionFallback:
             out = pipe(left, right, t_now=0.1 * k)
         assert pipe.hysteresis.state == "none"
         assert out["mode"] == 1  # stereo base again
+
+
+class TestFusedStream:
+    def test_stream_matches_per_frame(self, rig_calibration):
+        """The chunked lax.scan form (one upload + one program per chunk) is
+        bit-identical to the per-frame form while unoccluded, carries flow
+        state across chunks, and accepts uint8 input."""
+        from stereovision_tpu.pipeline import FusedPipeline
+
+        left, right = stereo_pair(disp=8)
+        n = 5
+        lefts = np.stack([np.roll(left, k, 1) for k in range(n)])
+        rights = np.stack([np.roll(right, k, 1) for k in range(n)])
+        pf = FusedPipeline(rig_calibration, scale=0.75)
+        st = FusedPipeline(rig_calibration, scale=0.75)
+        ref = [pf(lefts[k], rights[k], t_now=k / 30.0) for k in range(n)]
+        outs = st.stream(lefts[:3], rights[:3], t0=0.0, dt=1 / 30.0)
+        outs2 = st.stream(lefts[3:], rights[3:], t0=3 / 30.0, dt=1 / 30.0)
+        fused = np.concatenate([np.asarray(outs["fused"]), np.asarray(outs2["fused"])])
+        for k in range(n):
+            np.testing.assert_array_equal(fused[k], np.asarray(ref[k]["fused"]))
+        # uint8 chunks run the same program shape (device-side cast)
+        u8 = st.stream(lefts.astype(np.uint8), rights.astype(np.uint8))
+        assert np.asarray(u8["fused"]).shape == fused.shape
+
+    def test_stream_occlusion_hysteresis_on_device(self, rig_calibration):
+        """The traced int32 hysteresis inside the scan flips state after the
+        confirmation run and routes fusion off stereo - all within ONE
+        dispatched program."""
+        from stereovision_tpu.pipeline import FusedPipeline
+
+        pipe = FusedPipeline(rig_calibration, scale=0.75, use_midas=True)
+        sharp = RNG.uniform(0, 255, (192, 264)).astype(np.float32)
+        left, right = sharp[:, :256], sharp[:, 8:264]
+        covered = np.full_like(left, 15.0)
+        n = 8  # hysteresis updates EVERY frame in stream form; 5 to confirm
+        outs = pipe.stream(np.stack([covered] * n), np.stack([right] * n))
+        codes = np.asarray(outs["occlusion_code"])
+        assert codes[-1] == 1  # left occluded confirmed on-device
+        assert pipe.hysteresis.state == "left"  # carried back to host
+        assert int(outs["mode"][-1]) in (2, 3)
+        assert int(outs["mode"][0]) == 1  # pre-confirmation frames kept stereo
+        # recovery in a second chunk
+        outs = pipe.stream(np.stack([left] * n), np.stack([right] * n))
+        assert pipe.hysteresis.state == "none"
+        assert int(outs["mode"][-1]) == 1
