@@ -245,9 +245,25 @@ def main():
         check_close("midas forward", d_t2, d_c2, rtol=2e-3, atol=2.0)
         check_close("midas confidence", c_t2, c_c2, atol=0.02)
 
-        (f_t,), (f_c,) = both(lambda p, c: (dense_flow(p, c),),
+        (f_t,), (f_c,) = both(lambda p, c: (dense_flow(p, c, warp_impl="gather"),),
                               jnp.asarray(prev_np), jnp.asarray(curr_np))
         check_close("dense_flow", f_t, f_c, atol=0.05)
+        # the TPU production path uses the separable Pallas shift-gather warp
+        # (warp_impl="auto" → "shift"); it is an approximation of the exact
+        # bilinear warp, so audit distribution-level agreement on the chip
+        fs_t = np.asarray(dense_flow(jnp.asarray(prev_np), jnp.asarray(curr_np),
+                                     warp_impl="shift"))
+        med = float(np.median(np.abs(fs_t - f_t)))
+        p90 = float(np.percentile(np.abs(fs_t - f_t), 90))
+        # raw uniform noise is the hardest case for the approximation (the
+        # flow normal equations are near-singular at weak-texture pixels, so
+        # warp differences amplify); smoothed/real content measures med≈0.06
+        # at 422×633. Same 2 px order as the ego-flow tolerance above.
+        ok_w = med < 0.2 and p90 < 2.0
+        print(f"{'flow shift-warp (tpu)':>24}: "
+              f"{'OK' if ok_w else f'MISMATCH (med {med:.3f} p90 {p90:.3f})'}")
+        if not ok_w:
+            failures.append("flow shift-warp")
 
         key = jax.random.PRNGKey(3)
         ego = lambda f, k: estimate_ego_motion(f, k, step=16)  # noqa: E731

@@ -40,6 +40,7 @@ class FlowDepthParams:
     ransac_threshold: float = 3.0
     alpha_moving: float = 0.9
     alpha_static: float = 0.99
+    warp_impl: str = "auto"  # dense_flow warp: auto/gather/shift/shift_interpret
 
 
 @chex.dataclass
@@ -79,7 +80,8 @@ def flow_depth_step(
     p = params
     key, sub = jax.random.split(state.rng)
 
-    flow = dense_flow(state.prev_gray, gray, p.flow_levels, p.flow_win, p.flow_iters)
+    flow = dense_flow(state.prev_gray, gray, p.flow_levels, p.flow_win,
+                      p.flow_iters, warp_impl=p.warp_impl)
     ego_valid, expected = estimate_ego_motion(
         flow, sub, step=p.grid_step, threshold=p.ransac_threshold,
         min_inliers=p.min_inliers,
@@ -101,10 +103,10 @@ def flow_depth_step(
     stable = jnp.where(ego_valid, stable, state.stable_depth)
     has_stable = state.has_stable | ego_valid
 
-    depth_out = jnp.where(
-        ego_valid,
-        im.bilateral_filter(current_depth, 9, 75.0, 75.0),
-        im.bilateral_filter(state.stable_depth, 9, 75.0, 75.0),
+    # select-then-filter ≡ filter-then-select for a scalar predicate, and
+    # runs the 81-tap bilateral once instead of twice
+    depth_out = im.bilateral_filter(
+        jnp.where(ego_valid, current_depth, state.stable_depth), 9, 75.0, 75.0
     )
     has_depth = ego_valid | (camera_moving & state.has_stable)
 

@@ -19,8 +19,49 @@ import jax.numpy as jnp
 
 from stereovision_tpu.core import image as im
 
+# max |displacement| the separable warp samples per axis (beyond it, sampling
+# saturates — same practical range cap as Farneback's win×2^levels reach)
+WARP_RANGE = 32
 
-def _lk_refine(prev, curr, flow, win: int, iters: int, eps: float = 1e-3):
+
+def _warp_axis_shift(src, off, R: int, interpret: bool):
+    """out[y, x] = lerp(src[y, x+⌊off⌋], src[y, x+⌊off⌋+1]) along the last
+    axis, |off| < R, replicate borders — as 2 bounded shift_gather calls
+    (max_offset lane rotates with data-dependent block skip) instead of a
+    per-element gather."""
+    from stereovision_tpu.ops import sgm_pallas
+
+    H, W = src.shape
+    off = jnp.clip(off, -R, R - 1 - 1e-4)
+    fl = jnp.floor(off)
+    frac = off - fl
+    P = jnp.pad(src, ((0, 0), (R, R)), mode="edge")
+    offs = (R - fl).astype(jnp.int32)              # ∈ [1, 2R]
+    offs_full = jnp.pad(offs, ((0, 0), (2 * R, 0)))
+    g0 = sgm_pallas.shift_gather(
+        P, offs_full, max_offset=2 * R + 1, assume_clipped=True,
+        interpret=interpret)[:, 2 * R:]
+    g1 = sgm_pallas.shift_gather(
+        P, offs_full - 1, max_offset=2 * R + 1, assume_clipped=True,
+        interpret=interpret)[:, 2 * R:]
+    return g0 * (1.0 - frac) + g1 * frac
+
+
+def warp_separable(curr, flow, R: int = WARP_RANGE, interpret: bool = False):
+    """Bilinear backward warp of ``curr`` by ``flow`` (H, W, 2), split into a
+    vertical then horizontal 1-D pass (each a pair of Pallas shift-gathers;
+    the vertical pass rides two XLA transposes, which run near HBM speed).
+
+    Exactly bilinear wherever the vertical component is locally constant
+    along x; for smooth LK flow fields the difference is O(∂v/∂x · frac) —
+    far below the residual the LK iteration corrects. Displacements clamp to
+    ±R per axis (the same practical range cap as the pyramid reach)."""
+    tmp = _warp_axis_shift(curr.T, flow[..., 1].T, R, interpret).T
+    return _warp_axis_shift(tmp, flow[..., 0], R, interpret)
+
+
+def _lk_refine(prev, curr, flow, win: int, iters: int, eps: float = 1e-3,
+               warp_impl: str = "gather"):
     """Iterative LK update at one pyramid level. flow: (H, W, 2)."""
     H, W = prev.shape
     gy, gx = jnp.gradient(prev)
@@ -28,18 +69,24 @@ def _lk_refine(prev, curr, flow, win: int, iters: int, eps: float = 1e-3):
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij"
     )
 
+    # the windowed structure tensor depends only on prev's gradients — hoist
+    # it out of the iteration (3 of the 5 box filters per step)
+    a = im.box_filter(gx * gx, win) + eps
+    b = im.box_filter(gx * gy, win)
+    c = im.box_filter(gy * gy, win) + eps
+    det = a * c - b * b
+
     def body(_, flow):
-        wx = xs + flow[..., 0]
-        wy = ys + flow[..., 1]
-        warped = im._bilinear_gather(curr, wx, wy)
+        if warp_impl == "gather":
+            warped = im._bilinear_gather(
+                curr, xs + flow[..., 0], ys + flow[..., 1])
+        else:
+            warped = warp_separable(
+                curr, flow, interpret=(warp_impl == "shift_interpret"))
         it = warped - prev
         # windowed normal equations via box filters (all pixels at once)
-        a = im.box_filter(gx * gx, win) + eps
-        b = im.box_filter(gx * gy, win)
-        c = im.box_filter(gy * gy, win) + eps
         bx = im.box_filter(gx * it, win)
         by = im.box_filter(gy * it, win)
-        det = a * c - b * b
         du = -(c * bx - b * by) / det
         dv = -(a * by - b * bx) / det
         # clamp per-iteration update for stability (LK small-motion assumption)
@@ -50,17 +97,26 @@ def _lk_refine(prev, curr, flow, win: int, iters: int, eps: float = 1e-3):
     return jax.lax.fori_loop(0, iters, body, flow)
 
 
-@functools.partial(jax.jit, static_argnames=("levels", "win", "iters"))
+@functools.partial(jax.jit, static_argnames=("levels", "win", "iters", "warp_impl"))
 def dense_flow(
     prev: jax.Array,
     curr: jax.Array,
     levels: int = 3,
     win: int = 15,
     iters: int = 3,
+    warp_impl: str = "auto",
 ) -> jax.Array:
     """(H, W) grayscale pair → (H, W, 2) flow: curr[p + flow(p)] ≈ prev[p]…
     i.e. flow maps *prev* pixels to their position in *curr* (Farneback
-    convention: prev + flow = curr)."""
+    convention: prev + flow = curr).
+
+    ``warp_impl``: "gather" (XLA per-element bilinear gather — exact, the CPU
+    default), "shift" (separable Pallas shift-gather warp — the TPU default;
+    the per-element gather costs ~14 ms per full-res warp on-chip, ~10× this
+    path), "shift_interpret" (Pallas interpreter, for CPU parity tests), or
+    "auto" (backend-resolved at trace time)."""
+    if warp_impl == "auto":
+        warp_impl = "shift" if jax.default_backend() == "tpu" else "gather"
     prev = prev.astype(jnp.float32)
     curr = curr.astype(jnp.float32)
     H, W = prev.shape
@@ -82,5 +138,5 @@ def dense_flow(
                 )
                 * 2.0
             )
-        flow = _lk_refine(p, c, flow, win, iters)
+        flow = _lk_refine(p, c, flow, win, iters, warp_impl=warp_impl)
     return flow

@@ -129,3 +129,56 @@ class TestFlowDepthPipeline:
         )
         assert not bool(has0)
         assert bool(has1)
+
+
+class TestSeparableWarp:
+    """The Pallas shift-gather warp that replaces the per-element bilinear
+    gather in dense_flow on TPU (~10x: 44.5 -> 4.5 ms at 422x633)."""
+
+    def test_axis_constant_shift_exact(self):
+        from stereovision_tpu.mono.flow import _warp_axis_shift
+
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 255, (8, 200)).astype(np.float32))
+        for shift in (0.0, 1.0, -1.0, 2.5, -2.5, -31.0, 30.5):
+            out = _warp_axis_shift(img, jnp.full((8, 200), shift, jnp.float32),
+                                   32, interpret=True)
+            xs = np.clip(np.arange(200) + shift, 0, 199)
+            x0 = np.floor(xs).astype(int)
+            f = (xs - x0).astype(np.float32)
+            x1 = np.minimum(x0 + 1, 199)
+            ref = np.asarray(img)[:, x0] * (1 - f) + np.asarray(img)[:, x1] * f
+            np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3)
+
+    def test_matches_exact_bilinear_in_range(self):
+        """Varying flow, in-range samples: separable == true bilinear wherever
+        v is locally constant along x (replicate-clamp border semantics)."""
+        from stereovision_tpu.core import image as im
+        from stereovision_tpu.mono.flow import warp_separable
+
+        rng = np.random.default_rng(4)
+        H, W = 48, 160
+        img = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+        v = jnp.tile(jnp.asarray(rng.uniform(-4, 4, (H, 1)).astype(np.float32)), (1, W))
+        u = jnp.asarray(rng.uniform(-4, 4, (H, W)).astype(np.float32))
+        ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                              jnp.arange(W, dtype=jnp.float32), indexing="ij")
+        exact = im._bilinear_gather(img, xs + u, ys + v)
+        sep = warp_separable(img, jnp.stack([u, v], -1), interpret=True)
+        # interior only: _bilinear_gather extrapolates lerp weights at
+        # out-of-range coords while the separable warp replicate-clamps
+        d = np.abs(np.asarray(sep - exact))[6:-6, 6:-6]
+        assert d.max() < 1e-2, d.max()
+
+    def test_dense_flow_shift_recovers_translation(self):
+        from stereovision_tpu.mono.flow import dense_flow
+
+        img = textured(128, 192)
+        prev = jnp.asarray(img[:, :160])
+        curr = jnp.asarray(img[:, 3:163])
+        f = dense_flow(prev, curr, warp_impl="shift_interpret")
+        med = float(jnp.median(f[10:-10, 10:-10, 0]))
+        assert abs(med - (-3.0)) < 0.25, med  # prev + flow = curr convention
+        fg = dense_flow(prev, curr, warp_impl="gather")
+        dmed = float(jnp.median(jnp.abs(f - fg)[10:-10, 10:-10]))
+        assert dmed < 0.2, dmed
