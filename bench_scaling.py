@@ -106,6 +106,46 @@ def main():
             run_ba()
         results["ba"][n] = round((time.perf_counter() - t0) / 3 * 1000, 1)
 
+    # weak-scaling BA: per-device work HELD CONSTANT (16 views/device), so
+    # ideal scaling is a flat time. This isolates partitioning/collective
+    # overhead from the strong-scaling row above, where the per-device
+    # problem shrinks to nothing (r3 VERDICT: 8-device looked 4x slower
+    # because each device held 2 views' work plus every psum round).
+    views_per_dev = 16
+    need = views_per_dev * max(sizes)
+    imgs_w = list(imgs)
+    while len(imgs_w) < need:
+        rv = rng.uniform(-0.3, 0.3, 3)
+        tv = np.array([rng.uniform(-3, 3) - 10, rng.uniform(-2, 2) - 6, rng.uniform(25, 45)])
+        proj = np.asarray(geom.project_points(
+            jnp.asarray(obj), jnp.asarray(rv), jnp.asarray(tv), jnp.asarray(K), jnp.zeros(5)))
+        if 0 < proj[:, 0].min() and proj[:, 0].max() < 640 and 0 < proj[:, 1].min() and proj[:, 1].max() < 480:
+            imgs_w.append(proj)
+    results["ba_weak"] = {}
+    for n in sizes:
+        mesh = make_mesh(frame=n, tile=1, devices=jax.devices()[:n])
+        V = views_per_dev * n
+        ip = np.asarray(imgs_w[:V])
+        intr_w, poses_w = mono_ba_init(obj, ip, (640, 480))
+
+        def run_ba_w():
+            g, p, rms = distributed_mono_ba(
+                jnp.asarray(obj), jnp.asarray(ip), jnp.asarray(intr_w),
+                jnp.asarray(poses_w), mesh, iters=5,
+            )
+            jax.block_until_ready(g)
+            return float(rms)
+
+        run_ba_w()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            run_ba_w()
+        results["ba_weak"][n] = round((time.perf_counter() - t0) / 3 * 1000, 1)
+    t1 = results["ba_weak"][sizes[0]]
+    results["ba_weak_efficiency"] = {
+        n: round(t1 / results["ba_weak"][n], 3) for n in sizes
+    }
+
     # exact row-tiled disparity (bit-identical to single-device): the frame-
     # pipelined cross-tile vertical chain, tile-parallel over all devices —
     # the single-frame-latency axis, complementing the throughput axis above

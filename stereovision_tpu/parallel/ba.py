@@ -86,46 +86,74 @@ def distributed_mono_ba(
             return jax.lax.psum(jnp.sum(r * r), "frame")
 
         def lm_iter(_, carry):
+            # Communication: exactly TWO psums per LM iteration. The old
+            # sequential damping loop issued ~20 small psums per iteration
+            # (A, gA, then per damping try BCB + Bcr + cost), which made the
+            # program latency-bound off-chip: SCALING_r03 measured the
+            # 8-device virtual mesh 4x SLOWER than 1 device. The fori_loop
+            # always executed all 6 tries anyway (accept only masks), so
+            # evaluating the 6 candidate lambdas batched costs the same
+            # FLOPs while collapsing the reduction rounds:
+            #   psum #1: packed [A | gA | BCB_k | Bcr_k for k<6]  (631 floats)
+            #   psum #2: the 6 candidate costs
+            # Accept semantics identical: first candidate k with
+            # cost_k < cost wins (lambda ladder lam*10^k), lam then steps to
+            # max(0.3*lam*10^k, 1e-10), or 10^6*lam if all six reject.
             g, poses, lam, cost = carry
             r, Jg, Jp = blocks(g, poses)            # (Vl, R), (Vl, R, 9), (Vl, R, 6)
-            A = jax.lax.psum(jnp.einsum("vri,vrj->ij", Jg, Jg), "frame")
-            gA = jax.lax.psum(jnp.einsum("vri,vr->i", Jg, r), "frame")
+            A_l = jnp.einsum("vri,vrj->ij", Jg, Jg)
+            gA_l = jnp.einsum("vri,vr->i", Jg, r)
             C = jnp.einsum("vri,vrj->vij", Jp, Jp)  # (Vl, 6, 6)
             B = jnp.einsum("vri,vrj->vij", Jg, Jp)  # (Vl, 9, 6)
             gP = jnp.einsum("vri,vr->vi", Jp, r)    # (Vl, 6)
 
-            def try_lambda(lam):
-                Ad = A + lam * jnp.diag(jnp.clip(jnp.diag(A), 1e-8, None)) + 1e-10 * jnp.eye(_NG)
-                # Marquardt damping on each pose block's diagonal
-                Cdiag = jnp.clip(jnp.diagonal(C, axis1=-2, axis2=-1), 1e-8, None)
-                Cd = C + (lam * Cdiag)[..., None] * jnp.eye(6) + 1e-10 * jnp.eye(6)
-                Cinv = jnp.linalg.inv(Cd)
-                BCB = jax.lax.psum(jnp.einsum("vij,vjk,vlk->il", B, Cinv, B), "frame")
-                Bcr = jax.lax.psum(jnp.einsum("vij,vjk,vk->i", B, Cinv, gP), "frame")
+            lams = lam * jnp.float32(10.0) ** jnp.arange(6, dtype=A_l.dtype)
+            Cdiag = jnp.clip(jnp.diagonal(C, axis1=-2, axis2=-1), 1e-8, None)
+
+            def cinv_of(lam_c):
+                Cd = C + (lam_c * Cdiag)[..., None] * jnp.eye(6) + 1e-10 * jnp.eye(6)
+                return jnp.linalg.inv(Cd)
+
+            def local_schur(lam_c):
+                Cinv = cinv_of(lam_c)
+                BCB_l = jnp.einsum("vij,vjk,vlk->il", B, Cinv, B)
+                Bcr_l = jnp.einsum("vij,vjk,vk->i", B, Cinv, gP)
+                return BCB_l, Bcr_l
+
+            BCBs_l, Bcrs_l = jax.vmap(local_schur)(lams)  # (6,9,9), (6,9)
+            packed = jnp.concatenate(
+                [A_l.ravel(), gA_l, BCBs_l.ravel(), Bcrs_l.ravel()])
+            packed = jax.lax.psum(packed, "frame")
+            A = packed[:81].reshape(_NG, _NG)
+            gA = packed[81:90]
+            BCBs = packed[90:576].reshape(6, _NG, _NG)
+            Bcrs = packed[576:630].reshape(6, _NG)
+
+            def candidate(lam_c, BCB, Bcr):
+                Ad = A + lam_c * jnp.diag(jnp.clip(jnp.diag(A), 1e-8, None)) + 1e-10 * jnp.eye(_NG)
                 if optimize_intrinsics:
-                    S = Ad - BCB
-                    rhs = gA - Bcr
-                    dg = jnp.linalg.solve(S + 1e-10 * jnp.eye(_NG), rhs)
+                    dg = jnp.linalg.solve(Ad - BCB + 1e-10 * jnp.eye(_NG), gA - Bcr)
                 else:
                     dg = jnp.zeros(_NG, A.dtype)
+                Cinv = cinv_of(lam_c)
                 dp = jnp.einsum("vij,vj->vi", Cinv, gP - jnp.einsum("vji,j->vi", B, dg))
                 return g - dg, poses - dp
 
-            def damp_step(k, st):
-                g_c, poses_c, lam_c, cost_c, accepted = st
-                g_n, poses_n = try_lambda(lam_c)
-                cost_n = cost_of(g_n, poses_n)
-                ok = (cost_n < cost_c) & jnp.isfinite(cost_n) & (~accepted)
-                g_c = jnp.where(ok, g_n, g_c)
-                poses_c = jnp.where(ok, poses_n, poses_c)
-                cost_c = jnp.where(ok, cost_n, cost_c)
-                lam_c = jnp.where(ok, jnp.maximum(lam_c * 0.3, 1e-10),
-                                  jnp.where(accepted, lam_c, lam_c * 10.0))
-                return g_c, poses_c, lam_c, cost_c, accepted | ok
-
-            g, poses, lam, cost, _ = jax.lax.fori_loop(
-                0, 6, damp_step, (g, poses, lam, cost, jnp.asarray(False))
-            )
+            gs, poss = jax.vmap(candidate)(lams, BCBs, Bcrs)  # (6, 9), (6, Vl, 6)
+            costs_l = jax.vmap(
+                lambda gn, pn: jnp.sum(
+                    jax.vmap(lambda p, im_: _residual_one(gn, p, obj_pts, im_) ** 2)(
+                        pn, img_sh).sum())
+            )(gs, poss)
+            costs = jax.lax.psum(costs_l, "frame")            # (6,)
+            ok = (costs < cost) & jnp.isfinite(costs)
+            k = jnp.argmax(ok)  # first accepted candidate
+            any_ok = jnp.any(ok)
+            g = jnp.where(any_ok, gs[k], g)
+            poses = jnp.where(any_ok, poss[k], poses)
+            cost = jnp.where(any_ok, costs[k], cost)
+            lam = jnp.where(any_ok, jnp.maximum(lams[k] * 0.3, 1e-10),
+                            lam * jnp.float32(10.0) ** 6)
             return g, poses, lam, cost
 
         lam0 = jnp.asarray(1e-3, img_sh.dtype)

@@ -120,8 +120,13 @@ def distributed_slam_ba(
             b_l_local = jnp.zeros((L, 3)).at[lid_sh.reshape(-1)].add(
                 jnp.einsum("fmri,fmr->fmi", Jl, r).reshape(-1, 3)
             )
-            V = jax.lax.psum(V_local, "frame")
-            b_l = jax.lax.psum(b_l_local, "frame")
+            # one packed psum for the landmark blocks (V | b_l): halves the
+            # per-iteration reduction rounds outside the CG loop
+            Vb = jax.lax.psum(
+                jnp.concatenate([V_local.reshape(L, 9), b_l_local], axis=1),
+                "frame")
+            V = Vb[:, :9].reshape(L, 3, 3)
+            b_l = Vb[:, 9:]
             # per-observation coupling blocks (local)
             W = jnp.einsum("fmri,fmrj->fmij", Jp, Jl)              # (Fl, M, 6, 3)
 
