@@ -25,14 +25,23 @@ def build_modes(names):
                                          reference_preset)
     import dataclasses
 
+    prod = production_preset()
     registry = {
         # the fixed yardstick: fastest hier mode (r2 headline, 5.6 ms quiet)
         "yard": dataclasses.replace(
             reference_preset("hier"), refine_range=32, paths=2),
-        "prod": production_preset(),
+        "prod": prod,
         "hier4": dataclasses.replace(
             reference_preset("hier"), refine_range=32, paths=4),
         "full": reference_preset("full"),
+        # feature-delta probes for attributing prod's cost:
+        "prod_nofill": dataclasses.replace(prod, fill_invalid=False),
+        "prod_nokill": dataclasses.replace(prod, census_kill=0.0),
+        "prod_hier": dataclasses.replace(prod, mode="hier",
+                                         fill_invalid=False),
+        "yard3": dataclasses.replace(
+            reference_preset("hier"), refine_range=32, paths=2,
+            coarse_scale=3),
     }
     return {n: registry[n] for n in names}
 
@@ -45,6 +54,10 @@ def main():
     ap.add_argument("--gap", type=float, default=0.0,
                     help="sleep between rounds (s)")
     ap.add_argument("--modes", type=str, default="yard,prod")
+    ap.add_argument("--tune", action="store_true",
+                    help="resolve stats_impl via stereo.autotune (what "
+                         "bench.py and DepthPipeline do) instead of the "
+                         "raw presets")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +81,16 @@ def main():
     right = jnp.stack([jnp.asarray(right_np)] * B)
 
     modes = build_modes(args.modes.split(","))
+    if args.tune:
+        import dataclasses
+
+        from stereovision_tpu.stereo.autotune import (_probe_stats_impl,
+                                                      tune_stats_impl)
+
+        impl = _probe_stats_impl()
+        print(f"[tune] stats_impl -> {impl}", flush=True)
+        modes = {n: dataclasses.replace(tune_stats_impl(p), stats_impl=impl)
+                 for n, p in modes.items()}
     fns = {}
     for name, p in modes.items():
         t0 = time.perf_counter()

@@ -1030,9 +1030,11 @@ def sum_wta(
     (SGMParams.paths == 2), or the legacy 3-tuple (hsum, vf, vb) with hsum
     already relayouted to (H, W, D).
 
-    ``s_t`` is the summed volume already transposed to (D, H, W) int16 for
-    :func:`right_disparity` (None unless ``emit_transposed``); the statistics
-    follow :func:`_wta_stats` semantics with lanes ≥ ``d_valid`` masked out.
+    ``s_t`` is the summed volume already transposed to (D, H, W) for
+    :func:`right_disparity` (None unless ``emit_transposed``) — int8 offset
+    by −128 for the 2-volume family (sums ≤ 254; argmin-order preserving),
+    int16 otherwise; the statistics follow :func:`_wta_stats` semantics with
+    lanes ≥ ``d_valid`` masked out.
 
     ``groups=2`` (lane-packed halves): the statistics are taken per
     D/2-lane group and returned stacked along rows — outputs are
@@ -1234,10 +1236,13 @@ def wta_stats_from_duals(
 
 @functools.partial(jax.jit, static_argnames=("d_valid", "groups"))
 def st_from_duals(hf_t, hb_t, d_valid: int, groups: int = 1):
-    """Just the (D, H, W) int16 summed-transposed volume for
+    """Just the (D, H, W) summed-transposed volume for
     :func:`right_disparity` — :func:`_sum_wta_st_first`'s s_t construction
-    (bit-identical) without any statistics; pairs with
-    :func:`wta_stats_from_duals` on the paths=2 pipeline."""
+    (identical argmin order) without any statistics; pairs with
+    :func:`wta_stats_from_duals` on the paths=2 pipeline. Stored int8,
+    offset by −128 (sums of two int8 path volumes are ≤ 254; masked lanes
+    clamp to the 127 sentinel) — rdisp only argmins, and the offset halves
+    the s_t write + rdisp read traffic vs the int16 form."""
     D = hf_t.shape[-1]
     dg = D // groups
     st = jnp.transpose(hf_t.astype(jnp.int32) + hb_t.astype(jnp.int32), (2, 1, 0))
@@ -1245,7 +1250,7 @@ def st_from_duals(hf_t, hb_t, d_valid: int, groups: int = 1):
         p_iota = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
         dl = p_iota % dg if groups > 1 else p_iota
         st = jnp.where(dl >= d_valid, _BIGI >> 8, st)
-    return jnp.minimum(st, 30000).astype(jnp.int16)
+    return (jnp.minimum(st, 255) - 128).astype(jnp.int8)
 
 
 def _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid: int, groups: int):
@@ -1264,7 +1269,14 @@ def _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid: int, groups: int):
     dl = p_iota % dg if groups > 1 else p_iota
     if d_valid < dg:
         st = jnp.where(dl >= d_valid, _BIGI >> 8, st)
-    s_t = jnp.minimum(st, 30000).astype(jnp.int16)
+    if vf is None:
+        # two int8 volumes sum to ≤ 254: store s_t OFFSET by −128 as int8
+        # (order-preserving — right_disparity only argmins; masked lanes
+        # clamp to the 127 sentinel > any real 240−128). Halves the LR
+        # chain's dominant HBM traffic (s_t write + rdisp read).
+        s_t = (jnp.minimum(st, 255) - 128).astype(jnp.int8)
+    else:
+        s_t = jnp.minimum(st, 30000).astype(jnp.int16)
     # stats reduce the UNCLAMPED masked sum — bit-identical to the lane-dim
     # formulation even on pad lanes (the clamp only exists to fit s_t's int16);
     # XLA fuses the s_t store and these reductions into the same pass over st
