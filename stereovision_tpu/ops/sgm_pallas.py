@@ -1118,38 +1118,53 @@ def sum_wta(
 def _wta_lanes_kernel(hf_ref, hb_ref, stats_ref, idx_ref, *, d_valid: int,
                       dg: int, groups: int, bh: int):
     # One read of the two int8 dual volumes; all five winner statistics as
-    # LANE-dim reductions (cheap on VPU) over each group's STATIC lane slice.
-    # The XLA formulation re-reads the int32 summed volume once per statistic
-    # (~5×120 MB at the 720p refine shapes — measured +3.3 ms/frame); this
-    # kernel is one ~60 MB pass.
+    # LANE-dim reductions over each group's STATIC lane slice. The XLA
+    # formulation re-reads the int32 summed volume once per statistic; this
+    # kernel is one pass.
     #
     # All 4·groups float statistic maps leave through ONE lane-packed output
     # buffer (plus one for the int idx maps) — the original 5·groups separate
-    # (BW, BH) outputs meant 22 tiny DMA transfers per grid step, which is
-    # latency- not bandwidth-bound and measured 8× slower than the peer
-    # kernels when the shared host's HBM is contended (31.8 vs ~4 ms at the
-    # 720p refine shapes under a ~6× load window; bandwidth-equal otherwise).
-    s = hf_ref[:].astype(jnp.int32) + hb_ref[:].astype(jnp.int32)  # (BW, BH, D)
+    # (BW, BH) outputs meant 22 tiny DMA transfers per grid step (measured
+    # 8× slower at the 720p refine shapes).
+    #
+    # All arithmetic runs in FLOAT32 on exact small integers: Mosaic lowers
+    # int32 lane-dim min-reductions ~14× slower than f32 ones (measured
+    # r4, scripts/bench_wta_variants.py: 42 ms int32 vs 3.5 ms f32 for the
+    # identical kernel at the stacked refine shape — each int32 lane reduce
+    # costs ~0.7 ms vs ~0.05 f32). Sums of two int8 volumes are ≤ 254 and
+    # keys ≤ 2²³ − 1 after the clamp, so every value is an exactly
+    # representable f32 integer and the outputs are bit-identical to the
+    # int32 formulation (the clamp only ever rebounds masked/sentinel lanes,
+    # which real statistics never select).
+    s = hf_ref[:].astype(jnp.float32) + hb_ref[:].astype(jnp.float32)
     dp = 1
     while dp < dg:
         dp *= 2
+    fdp = jnp.float32(dp)
+    big = jnp.float32(_BIGI >> 8)  # 2²¹: exceeds any real sum, f32-exact
     for g in range(groups):
         sg = jax.lax.slice_in_dim(s, g * dg, (g + 1) * dg, axis=2)
         dl = jax.lax.broadcasted_iota(jnp.int32, sg.shape, 2)
-        sg = jnp.where(dl >= d_valid, _BIGI >> 8, sg)
-        key = jnp.minimum(sg, (1 << 30) // dp - 1) * dp + dl
+        dlf = dl.astype(jnp.float32)
+        sg = jnp.where(dl >= d_valid, big, sg)
+        # key = s·dp + d, clamped so keys stay < 2²³ (exact f32 integers);
+        # real sums (≤ 254) are far below the clamp — identical ordering
+        key = jnp.minimum(sg, (1 << 23) // dp - 1) * fdp + dlf
         kmin = jnp.min(key, axis=-1)
-        best = kmin // dp
-        idx = kmin % dp
-        cm = jnp.min(jnp.where(dl == idx[..., None] - 1, sg, _BIGI), axis=-1)
-        cp = jnp.min(jnp.where(dl == idx[..., None] + 1, sg, _BIGI), axis=-1)
+        best = jnp.floor(kmin / fdp)
+        idx = kmin - best * fdp
+        # the no-competitor sentinel stays _BIGI (2²⁹ — a power of two, so
+        # f32-exact): consumers compare against it (range-boundary cm/cp
+        # replacement), and the int32 formulation emits exactly this value
+        fbigi = jnp.float32(_BIGI)
+        cm = jnp.min(jnp.where(dlf == idx[..., None] - 1, sg, fbigi), axis=-1)
+        cp = jnp.min(jnp.where(dlf == idx[..., None] + 1, sg, fbigi), axis=-1)
         comp = jnp.min(
-            jnp.where(jnp.abs(dl - idx[..., None]) > 1, sg, _BIGI), axis=-1
+            jnp.where(jnp.abs(dlf - idx[..., None]) > 1, sg, fbigi), axis=-1
         )
         for k, val in enumerate((best, cm, cp, comp)):
-            stats_ref[:, (k * groups + g) * bh:(k * groups + g + 1) * bh] = (
-                val.astype(jnp.float32))
-        idx_ref[:, g * bh:(g + 1) * bh] = idx
+            stats_ref[:, (k * groups + g) * bh:(k * groups + g + 1) * bh] = val
+        idx_ref[:, g * bh:(g + 1) * bh] = idx.astype(jnp.int32)
 
 
 @functools.partial(
