@@ -184,9 +184,15 @@ def run_ours(left, right, mode):
         compute_disparity, production_preset, reference_preset,
     )
 
-    if mode == "prod":  # the headline configuration (bench.py)
+    if mode.startswith("prod"):  # the headline configuration (bench.py);
+        # "prod_cs4" etc. override coarse_scale for quality/speed trades
+        import dataclasses
+
+        p = production_preset()
+        if mode.startswith("prod_cs"):
+            p = dataclasses.replace(p, coarse_scale=int(mode[7:]))
         disp, valid = compute_disparity(
-            jnp.asarray(left), jnp.asarray(right), production_preset()
+            jnp.asarray(left), jnp.asarray(right), p
         )
         return np.asarray(disp), np.asarray(valid), None
     # mode "hier_r32" = hier with refine_range 32 (the pack=4 refine);

@@ -1013,7 +1013,10 @@ _BIGI = 1 << 29  # int32-safe "no competitor" sentinel (consumer treats ≥ this
 
 
 @functools.partial(
-    jax.jit, static_argnames=("d_valid", "emit_transposed", "groups", "interpret")
+    jax.jit,
+    static_argnames=(
+        "d_valid", "emit_transposed", "groups", "interpret", "st_planes"
+    ),
 )
 def sum_wta(
     vols,
@@ -1021,6 +1024,7 @@ def sum_wta(
     emit_transposed: bool = True,
     groups: int = 1,
     interpret: bool = False,
+    st_planes: int | None = None,
 ):
     """Path volumes → (s_t, best, idx, cm, cp, competitor).
 
@@ -1057,7 +1061,8 @@ def sum_wta(
         hf_t, hb_t = vols[0], vols[1]
         vf, vb = (vols[2], vols[3]) if len(vols) == 4 else (None, None)
         if emit_transposed:
-            return _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid, groups)
+            return _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid, groups,
+                                     st_planes=st_planes)
         # stats-only: lane-dim reductions over (H, W, D) win — fall through
         hsum = jnp.transpose(
             hf_t.astype(jnp.int16) + hb_t.astype(jnp.int16), (1, 0, 2)
@@ -1268,7 +1273,8 @@ def st_from_duals(hf_t, hb_t, d_valid: int, groups: int = 1):
     return (jnp.minimum(st, 255) - 128).astype(jnp.int8)
 
 
-def _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid: int, groups: int):
+def _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid: int, groups: int,
+                      st_planes: int | None = None):
     """Transpose-first :func:`sum_wta` core (see its docstring): s_t (D, H, W)
     int16 is assembled from two XLA batch transposes of the raw dual-sweep
     volumes, then every statistic reduces along the outer plane axis — one
@@ -1284,14 +1290,17 @@ def _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid: int, groups: int):
     dl = p_iota % dg if groups > 1 else p_iota
     if d_valid < dg:
         st = jnp.where(dl >= d_valid, _BIGI >> 8, st)
+    st_sl = st if st_planes is None else st[:st_planes]
     if vf is None:
         # two int8 volumes sum to ≤ 254: store s_t OFFSET by −128 as int8
         # (order-preserving — right_disparity only argmins; masked lanes
         # clamp to the 127 sentinel > any real 240−128). Halves the LR
         # chain's dominant HBM traffic (s_t write + rdisp read).
-        s_t = (jnp.minimum(st, 255) - 128).astype(jnp.int8)
+        # ``st_planes`` keeps only the leading lane planes (the packed
+        # core's LR-checked strips) — the rest never reach HBM.
+        s_t = (jnp.minimum(st_sl, 255) - 128).astype(jnp.int8)
     else:
-        s_t = jnp.minimum(st, 30000).astype(jnp.int16)
+        s_t = jnp.minimum(st_sl, 30000).astype(jnp.int16)
     # stats reduce the UNCLAMPED masked sum — bit-identical to the lane-dim
     # formulation even on pad lanes (the clamp only exists to fit s_t's int16);
     # XLA fuses the s_t store and these reductions into the same pass over st

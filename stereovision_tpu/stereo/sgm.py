@@ -108,6 +108,14 @@ class SGMParams:
     # (measured 30 vs 4.4 ms at the 720p refine shapes in a loaded window) —
     # "auto" lets DepthPipeline/bench autotune the choice per session.
     stats_impl: str = "pallas"
+    # packed-core LR restriction: 0 = left-right-check every pack strip; n>0
+    # = only the first n strips build s_t / right-disparity / LR-compare
+    # (their lane planes slice out of the dual volumes before the summed
+    # volume ever materializes). Set by the stacked two-window refine, whose
+    # strips 0..pack/2−1 are window A (LR on) and the rest window B (LR off,
+    # matching the sequential form's lr=False pass — validity there is
+    # uniqueness + seam masking + census arbitration).
+    lr_groups: int = 0
     # horizontal-aggregation column segmentation (paths=2 only): the scan
     # restarts every W/agg_wseg columns, with the segments stacked along the
     # row axis. Built on the theory that shorter carry chains with more
@@ -596,13 +604,14 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str,
             left, params.census_ksize, params.census_wsize)
         cr = crr_pre if crr_pre is not None else im.census_transform(
             right, params.census_ksize, params.census_wsize)
+        ng_lr = params.lr_groups if 0 < params.lr_groups <= pk else pk
         parts = []
         for g in range(pk):
             sl = slice(g * Hh, (g + 1) * Hh)
             cost = cost_from_census(cl[sl], cr[sl], params)
             agg = aggregate(cost, params)
             disp_g, valid_g, best_g = _wta(agg, params)
-            if params.lr_max_diff >= 0:
+            if params.lr_max_diff >= 0 and g < ng_lr:
                 valid_g = valid_g & _left_right_check(agg, disp_g, params)
             parts.append((disp_g, valid_g, best_g))
         disp = jnp.concatenate([q[0] for q in parts], axis=0)
@@ -644,16 +653,18 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str,
     # scan is latency-bound, so per-step parallelism is the point
     hf_t, hb_t = dual(cost_t, axis=0,
                       block_x=cost_t.shape[1] if seg > 1 else None)
+    ng_lr = p.lr_groups if 0 < p.lr_groups <= pk else pk
     if p.paths == 2 and p.stats_impl != "xla" and (
             interpret or cost_t.shape[1] >= 128):
         # one-pass lane-reduction stats kernel + (if LR) the XLA s_t build:
         # the XLA stats formulation re-reads the summed volume per statistic
-        # (measured +3.3 ms/frame at 720p)
         best, idx, cm, cp, comp = sgm_pallas.wta_stats_from_duals(
             hf_t, hb_t, d_valid=D, groups=pk, interpret=interpret
         )
         s_t = (
-            sgm_pallas.st_from_duals(hf_t, hb_t, D, pk)
+            # only the LR-checked strips' lane planes enter the summed volume
+            sgm_pallas.st_from_duals(hf_t[..., :ng_lr * dg],
+                                     hb_t[..., :ng_lr * dg], D, ng_lr)
             if p.lr_max_diff >= 0 else None
         )
     else:
@@ -665,6 +676,7 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str,
         s_t, best, idx, cm, cp, comp = sgm_pallas.sum_wta(
             vols, d_valid=D, groups=pk,
             emit_transposed=p.lr_max_diff >= 0, interpret=interpret,
+            st_planes=(ng_lr * dg if ng_lr < pk else None),
         )
     if seg > 1:
         # un-permute from the segmented space back to true column adjacency:
@@ -697,11 +709,18 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str,
                     s_t, D, pre_transposed=True, plane_offset=g * dg,
                     interpret=interpret,
                 )
-                for g in range(pk)
+                for g in range(ng_lr)
             ],
             axis=0,
         )
-        valid = valid & _lr_compare(disp, disp_r, p, impl)
+        if ng_lr < pk:
+            n_rows = ng_lr * Hh
+            lr_ok = _lr_compare(disp[:n_rows], disp_r, p, impl)
+            valid = jnp.concatenate(
+                [valid[:n_rows] & lr_ok, valid[n_rows:]], axis=0
+            )
+        else:
+            valid = valid & _lr_compare(disp, disp_r, p, impl)
     return disp[:H], valid[:H], best_c[:H]
 
 
@@ -1250,8 +1269,10 @@ def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
     warp — so stacking [warp_A; warp_B] into a 2H pseudo-image and running a
     single pack=4 search is numerically equivalent to the two sequential
     passes while HALVING the kernel-launch count (cost, aggregation, stats,
-    s_t, LR, and the shift/ramp gathers each run once over 2H instead of
-    twice over H). Per-half censuses are injected (``crr_pre``) so the stack
+    and the shift/ramp gathers each run once over 2H instead of twice over
+    H; the LR chain runs on window A's strips only — ``lr_groups=2`` — the
+    sequential form's ``lr=False`` window-B semantics). Per-half censuses
+    are injected (``crr_pre``) so the stack
     boundary keeps per-image replicate-border semantics. Requires R ≤ 32 and
     H % 16 == 0 (the A/B boundary must land on a pack-strip seam).
 
@@ -1312,6 +1333,11 @@ def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
     refine_p = _dc.replace(
         p, mode="full", num_disparities=R, min_disparity=0, pack=4,
         speckle_window_size=0, median_ksize=1,
+        # strips 0,1 = window A (LR-checked); strips 2,3 = window B, which
+        # skips the LR chain entirely — the sequential form's lr=False pass
+        # (B's validity is uniqueness + seam mask + census arbitration).
+        # Halves s_t, right-disparity, and the LR gather.
+        lr_groups=2,
     )
     disp_r2, valid2, best2 = _compute_full(
         left2, warped2, refine_p, cl_pre=cl2, crr_pre=crr2

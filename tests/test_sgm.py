@@ -326,8 +326,10 @@ class TestHier2:
                 left, right, shift_a, shift_b, p)
             ra = _refine_with_shift(left, right, shift_a, p, mask_seams=True,
                                     post=False)
+            # lr=False: what hier2's sequential fallback actually runs for
+            # window B — and what the stacked form's lr_groups=2 reproduces
             rb = _refine_with_shift(left, right, shift_b, p, mask_seams=True,
-                                    post=False)
+                                    post=False, lr=False)
             np.testing.assert_array_equal(np.asarray(da), np.asarray(ra[0]),
                                           err_msg=f"disp_a {impl}")
             np.testing.assert_array_equal(np.asarray(va), np.asarray(ra[1]))
