@@ -81,7 +81,32 @@ def build(variant):
                            jnp.minimum(shift_m, shift_p) + p1)
         return c + best - mp
 
+    def step_interleave(prev, c):
+        # STRIDE-32 interleaved group layout (lane = d_local·groups + g):
+        # group-min = log2(groups) wrap-correct rolls + mins, no masks or
+        # broadcast-back; d±1 becomes a ±groups-lane shift with d_local
+        # boundary masks. WRONG results in the current contiguous layout —
+        # this measures the op pattern's cost only.
+        import jax.experimental.pallas.tpu as _pltpu
+
+        D_ = prev.shape[-1]
+        lm = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 1)
+        shift_m = _pltpu.roll(prev, groups, prev.ndim - 1)
+        shift_p = _pltpu.roll(prev, D_ - groups, prev.ndim - 1)
+        shift_m = jnp.where(lm < groups, sp._BIG, shift_m)
+        shift_p = jnp.where(lm >= D_ - groups, sp._BIG, shift_p)
+        mp = prev
+        r = D_ // 2
+        while r >= D_ // groups:  # {64, 32} for groups=4: wrap-correct
+            mp = jnp.minimum(mp, _pltpu.roll(mp, r, prev.ndim - 1))
+            r //= 2
+        best = jnp.minimum(jnp.minimum(prev, mp + p2),
+                           jnp.minimum(shift_m, shift_p) + p1)
+        return c + best - mp
+
     def step(prev, c):
+        if variant == "gm_interleave":
+            return step_interleave(prev, c)
         if variant == "gm_slice":
             return step_gm(prev, c, cat=False)
         if variant == "gm_cat":

@@ -108,6 +108,16 @@ class SGMParams:
     # (measured 30 vs 4.4 ms at the 720p refine shapes in a loaded window) —
     # "auto" lets DepthPipeline/bench autotune the choice per session.
     stats_impl: str = "pallas"
+    # hier2 window-B vertical decimation: 3 = the stacked refine solves
+    # window B on every 3rd row as pack strip 3 of an [A(H); B(H/3)] stack
+    # (A = strips 0-2, LR-checked; total refine volume −33% vs the [A; B]
+    # 2H stack) and row-repeats B's field back to H before arbitration.
+    # B recovers vertically-extensive occlusion strips, and the census
+    # arbitration judges its candidates per-pixel at full resolution, so
+    # decimation errors are killed by data evidence. 1 = full-height B.
+    # Requires H % 24 == 0 (strip seams must land on the A/B boundary);
+    # other heights fall back to the full-height stack.
+    b_decimate: int = 1
     # packed-core LR restriction: 0 = left-right-check every pack strip; n>0
     # = only the first n strips build s_t / right-disparity / LR-compare
     # (their lane planes slice out of the dual volumes before the summed
@@ -149,6 +159,12 @@ def production_preset() -> "SGMParams":
     return SGMParams(
         num_disparities=320, mode="hier2", refine_range=32, paths=2,
         coarse_scale=3, census_kill=6.0, fill_invalid=True,
+        # window B solves on every 3rd row ([A(H); B(H/3)] stack — refine
+        # volume −33%, measured 10.3 → 8.2 ms/frame r4) with per-pixel
+        # census arbitration judging its candidates at full resolution:
+        # quality identical to the full-height stack on all 4 scenes
+        # (bad2 0.32/0.00/0.19/0.34% vs cv2's 0.52/24.4/0.45/0.96%)
+        b_decimate=3,
         # "auto": DepthPipeline/bench probe the chip once per session and pin
         # the faster WTA-stats formulation (stereo.autotune). Direct
         # compute_disparity callers get the Pallas form (the quiet-chip
@@ -1285,12 +1301,18 @@ def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
     R = p.refine_range
     H, W = left.shape
     assert R <= 32 and H % 16 == 0
+    dec = p.b_decimate if (p.b_decimate == 3 and H % 24 == 0) else 1
     impl = _resolve_impl(p.impl)
     interpret = impl == "pallas_interpret"
     xs = jnp.arange(W, dtype=jnp.int32)[None, :]
-    left2 = jnp.concatenate([left, left], axis=0)
-    right2 = jnp.concatenate([right, right], axis=0)
-    shift2 = jnp.concatenate([shift_a, shift_b], axis=0)
+    if dec == 3:
+        # [A(H); B(H/3)] stack: 4 equal strips of H/3, A = strips 0-2
+        left_b, right_b, shift_bd = left[::3], right[::3], shift_b[::3]
+    else:
+        left_b, right_b, shift_bd = left, right, shift_b
+    left2 = jnp.concatenate([left, left_b], axis=0)
+    right2 = jnp.concatenate([right, right_b], axis=0)
+    shift2 = jnp.concatenate([shift_a, shift_bd], axis=0)
     if impl == "xla":
         src_x = jnp.clip(xs - shift2.astype(jnp.int32), 0, W - 1)
         warped2 = jnp.take_along_axis(right2, src_x, axis=1)
@@ -1305,9 +1327,10 @@ def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
 
     if cl1 is None:
         cl1 = _census_words_for(left, p, impl)
+    cl1_b = cl1 if dec == 1 else _census_words_for(left_b, p, impl)
     wa, wb = warped2[:H], warped2[H:]
     if impl == "xla":
-        cl2 = jnp.concatenate([cl1, cl1], axis=0)
+        cl2 = jnp.concatenate([cl1, cl1_b], axis=0)
         crr2 = jnp.concatenate(
             [im.census_transform(wa, p.census_ksize, p.census_wsize),
              im.census_transform(wb, p.census_ksize, p.census_wsize)],
@@ -1316,7 +1339,7 @@ def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
     else:
         from stereovision_tpu.ops import sgm_pallas
 
-        cl2 = jnp.concatenate([cl1, cl1], axis=1)
+        cl2 = jnp.concatenate([cl1, cl1_b], axis=1)
         # per-half censuses (NOT one call over the stack): keeps per-image
         # replicate-border semantics at the A/B boundary — and the single-call
         # form measured no faster anyway (ratio 1.589 vs 1.591)
@@ -1333,11 +1356,11 @@ def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
     refine_p = _dc.replace(
         p, mode="full", num_disparities=R, min_disparity=0, pack=4,
         speckle_window_size=0, median_ksize=1,
-        # strips 0,1 = window A (LR-checked); strips 2,3 = window B, which
-        # skips the LR chain entirely — the sequential form's lr=False pass
-        # (B's validity is uniqueness + seam mask + census arbitration).
-        # Halves s_t, right-disparity, and the LR gather.
-        lr_groups=2,
+        # the leading strips = window A (LR-checked); the rest = window B,
+        # which skips the LR chain entirely — the sequential form's
+        # lr=False pass (B's validity is uniqueness + seam mask + census
+        # arbitration). Shrinks s_t, right-disparity, and the LR gather.
+        lr_groups=(3 if dec == 3 else 2),
     )
     disp_r2, valid2, best2 = _compute_full(
         left2, warped2, refine_p, cl_pre=cl2, crr_pre=crr2
@@ -1371,9 +1394,17 @@ def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
         )
     valid2 = valid2 & (ramp_at2 < 0.5)
     disp2 = jnp.where(valid2, disp_r2 + shift_at2, float(p.min_disparity) - 1.0)
+    if dec == 1:
+        return (
+            (disp2[:H], valid2[:H], best2[:H]),
+            (disp2[H:], valid2[H:], best2[H:]),
+        )
+    # row-repeat the decimated window-B field back to H: the census
+    # arbitration re-judges every repeated row against full-res data
+    up = lambda x: jnp.repeat(x[H:], 3, axis=0)[:H]  # noqa: E731
     return (
         (disp2[:H], valid2[:H], best2[:H]),
-        (disp2[H:], valid2[H:], best2[H:]),
+        (up(disp2), up(valid2), up(best2)),
     )
 
 

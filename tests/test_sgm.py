@@ -338,6 +338,44 @@ class TestHier2:
                                           err_msg=f"disp_b {impl}")
             np.testing.assert_array_equal(np.asarray(vb), np.asarray(rb[1]))
 
+    def test_decimated_b_window_matches_sequential_on_decimated_rows(self):
+        """b_decimate=3: the [A(H); B(H/3)] stack's window-B strip must equal
+        a sequential lr=False refine of the row-decimated inputs, row-repeated
+        to H; window A stays exactly the full-height sequential pass."""
+        import dataclasses
+
+        from stereovision_tpu.stereo.sgm import (
+            _refine_two_windows, _refine_with_shift,
+        )
+
+        rng = np.random.default_rng(23)
+        H, W = 96, 256  # H % 24 == 0
+        base = cv2.GaussianBlur(
+            rng.uniform(0, 255, (H, W + 40)).astype(np.float32), (5, 5), 1.0
+        )
+        left, right = jnp.asarray(base[:, :W]), jnp.asarray(base[:, 30:30 + W])
+        shift_a = jnp.asarray(
+            np.clip(np.round(24 + 4 * np.sin(np.arange(W) / 29.0))[None, :]
+                    * np.ones((H, 1)), 0, 32).astype(np.float32))
+        shift_b = shift_a + 6.0
+        for impl in ("xla", "pallas_interpret"):
+            p = SGMParams(num_disparities=64, mode="hier2", refine_range=32,
+                          paths=2, impl=impl, b_decimate=3)
+            (da, va, _), (db, vb, _) = _refine_two_windows(
+                left, right, shift_a, shift_b, p)
+            ra = _refine_with_shift(left, right, shift_a, p, mask_seams=True,
+                                    post=False)
+            rbd = _refine_with_shift(left[::3], right[::3], shift_b[::3], p,
+                                     mask_seams=True, post=False, lr=False)
+            np.testing.assert_array_equal(np.asarray(da), np.asarray(ra[0]),
+                                          err_msg=f"disp_a {impl}")
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(ra[1]))
+            np.testing.assert_array_equal(
+                np.asarray(db), np.repeat(np.asarray(rbd[0]), 3, axis=0)[:H],
+                err_msg=f"disp_b {impl}")
+            np.testing.assert_array_equal(
+                np.asarray(vb), np.repeat(np.asarray(rbd[1]), 3, axis=0)[:H])
+
     def test_fill_invalid_inpaints_and_reports_full_validity(self):
         """fill_invalid=True: remaining holes (LR-killed occlusions, seam
         masks) are inpainted from the nearest valid neighbor (ties to the
