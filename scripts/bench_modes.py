@@ -39,7 +39,8 @@ def build_modes(names):
         "prod_nokill": dataclasses.replace(prod, census_kill=0.0),
         "prod_hier": dataclasses.replace(prod, mode="hier",
                                          fill_invalid=False),
-        "prod_bdec": dataclasses.replace(prod, b_decimate=3),
+        # inverse delta: prod already runs b_decimate=3, so probe full-height B
+        "prod_bfull": dataclasses.replace(prod, b_decimate=1),
         "yard3": dataclasses.replace(
             reference_preset("hier"), refine_range=32, paths=2,
             coarse_scale=3),

@@ -191,8 +191,6 @@ def run_ours(left, right, mode):
         p = production_preset()
         if mode.startswith("prod_cs"):
             p = dataclasses.replace(p, coarse_scale=int(mode[7:]))
-        elif mode == "prod_bdec":
-            p = dataclasses.replace(p, b_decimate=3)
         elif mode == "prod_bfull":
             p = dataclasses.replace(p, b_decimate=1)
         disp, valid = compute_disparity(

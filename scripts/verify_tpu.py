@@ -24,7 +24,9 @@ def main():
 
     from stereovision_tpu.ops import sgm_pallas
 
-    assert jax.default_backend() in ("tpu", "axon"), jax.default_backend()
+    from stereovision_tpu.utils.backend import is_tpu_backend
+
+    assert is_tpu_backend(), jax.default_backend()
     print("backend:", jax.devices())
     rng = np.random.default_rng(0)
     # W deliberately a NON-power-of-two lane multiple: Mosaic's dynamic-roll

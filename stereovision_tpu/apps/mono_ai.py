@@ -19,6 +19,13 @@ def main(argv=None):
     ap.add_argument("--images", required=True)
     ap.add_argument("--out", default="mono_ai_out")
     ap.add_argument("--glob", default="*.jpg")
+    # the reference demo's model selection (MONO/mono_depth_map_ai.py:24-69:
+    # MiDaS_small vs DPT_Large); --checkpoint loads a real torch state_dict
+    # through the manifest-validated port path of the chosen architecture
+    ap.add_argument("--arch", default="small",
+                    choices=("small", "midas_v21_small", "dpt_large"))
+    ap.add_argument("--checkpoint", default=None,
+                    help="torch .pt state_dict for midas_v21_small/dpt_large")
     args = ap.parse_args(argv)
 
     import fnmatch
@@ -30,7 +37,9 @@ def main(argv=None):
     from stereovision_tpu.io.frames import _imread_bgr
     from stereovision_tpu.mono.nn import create_model, estimate_depth
 
-    model, variables = create_model()
+    model, variables = create_model(
+        arch=args.arch, torch_state_dict=args.checkpoint
+    )
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     files = sorted(

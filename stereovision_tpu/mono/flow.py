@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from stereovision_tpu.core import image as im
+from stereovision_tpu.utils.backend import is_tpu_backend
 
 # max |displacement| the separable warp samples per axis (beyond it, sampling
 # saturates — same practical range cap as Farneback's win×2^levels reach)
@@ -116,7 +117,7 @@ def dense_flow(
     path), "shift_interpret" (Pallas interpreter, for CPU parity tests), or
     "auto" (backend-resolved at trace time)."""
     if warp_impl == "auto":
-        warp_impl = "shift" if jax.default_backend() == "tpu" else "gather"
+        warp_impl = "shift" if is_tpu_backend() else "gather"
     prev = prev.astype(jnp.float32)
     curr = curr.astype(jnp.float32)
     H, W = prev.shape

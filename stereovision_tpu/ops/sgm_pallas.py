@@ -1259,10 +1259,12 @@ def st_from_duals(hf_t, hb_t, d_valid: int, groups: int = 1):
     """Just the (D, H, W) summed-transposed volume for
     :func:`right_disparity` — :func:`_sum_wta_st_first`'s s_t construction
     (identical argmin order) without any statistics; pairs with
-    :func:`wta_stats_from_duals` on the paths=2 pipeline. Stored int8,
-    offset by −128 (sums of two int8 path volumes are ≤ 254; masked lanes
-    clamp to the 127 sentinel) — rdisp only argmins, and the offset halves
-    the s_t write + rdisp read traffic vs the int16 form."""
+    :func:`wta_stats_from_duals` on the paths=2 pipeline. With int8 dual
+    volumes, stored int8 offset by −128 (sums of two int8 path volumes are
+    ≤ 254; masked lanes clamp to the 127 sentinel) — rdisp only argmins, and
+    the offset halves the s_t write + rdisp read traffic vs the int16 form.
+    int16 duals (census_bits + P2 > 127 configs) keep the int16 clamp-at-30000
+    form: a 255 clamp there would collapse real sums into the sentinel."""
     D = hf_t.shape[-1]
     dg = D // groups
     st = jnp.transpose(hf_t.astype(jnp.int32) + hb_t.astype(jnp.int32), (2, 1, 0))
@@ -1270,7 +1272,9 @@ def st_from_duals(hf_t, hb_t, d_valid: int, groups: int = 1):
         p_iota = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
         dl = p_iota % dg if groups > 1 else p_iota
         st = jnp.where(dl >= d_valid, _BIGI >> 8, st)
-    return (jnp.minimum(st, 255) - 128).astype(jnp.int8)
+    if hf_t.dtype == jnp.int8:
+        return (jnp.minimum(st, 255) - 128).astype(jnp.int8)
+    return jnp.minimum(st, 30000).astype(jnp.int16)
 
 
 def _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid: int, groups: int,
@@ -1291,13 +1295,15 @@ def _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid: int, groups: int,
     if d_valid < dg:
         st = jnp.where(dl >= d_valid, _BIGI >> 8, st)
     st_sl = st if st_planes is None else st[:st_planes]
-    if vf is None:
+    if vf is None and hf_t.dtype == jnp.int8:
         # two int8 volumes sum to ≤ 254: store s_t OFFSET by −128 as int8
         # (order-preserving — right_disparity only argmins; masked lanes
         # clamp to the 127 sentinel > any real 240−128). Halves the LR
         # chain's dominant HBM traffic (s_t write + rdisp read).
         # ``st_planes`` keeps only the leading lane planes (the packed
         # core's LR-checked strips) — the rest never reach HBM.
+        # int16 duals (census_bits + P2 > 127) keep the int16 form below:
+        # a 255 clamp would collapse real sums into the sentinel.
         s_t = (jnp.minimum(st_sl, 255) - 128).astype(jnp.int8)
     else:
         s_t = jnp.minimum(st_sl, 30000).astype(jnp.int16)

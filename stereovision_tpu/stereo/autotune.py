@@ -22,6 +22,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from stereovision_tpu.utils.backend import is_tpu_backend
+
 __all__ = ["tune_stats_impl", "timed_best"]
 
 
@@ -32,7 +34,7 @@ def _probe_stats_impl() -> str:
     shows at any volume size ≫ launch overhead). Returns "pallas" or
     "xla". Never raises — any failure falls back to "xla" (the form that
     degrades gracefully)."""
-    if jax.default_backend() not in ("tpu", "axon"):
+    if not is_tpu_backend():
         return "pallas"  # CPU tests: keep the interpret-parity default
     try:
         from stereovision_tpu.ops import sgm_pallas

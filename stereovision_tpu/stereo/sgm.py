@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from stereovision_tpu.core import image as im
+from stereovision_tpu.utils.backend import is_tpu_backend
 
 _BIG = jnp.float32(1e9)
 
@@ -136,6 +137,15 @@ class SGMParams:
     # W divides by 128·agg_wseg.
     agg_wseg: int = 1
 
+    def __post_init__(self):
+        # only 3× B-decimation is implemented (24-row strip seams); any other
+        # value >1 would silently degrade to the full-height stack at use
+        if self.b_decimate not in (1, 3):
+            raise ValueError(
+                f"b_decimate must be 1 (full-height window B) or 3 "
+                f"(implemented decimation factor); got {self.b_decimate}"
+            )
+
 
 def reference_preset(mode: str = "hier") -> "SGMParams":
     """The reference's exact SGBM search configuration (depth_map.py:31-33,
@@ -176,7 +186,7 @@ def production_preset() -> "SGMParams":
 def _resolve_impl(impl: str) -> str:
     if impl != "auto":
         return impl
-    return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    return "pallas" if is_tpu_backend() else "xla"
 
 
 # ---------------------------------------------------------------------------

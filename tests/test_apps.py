@@ -140,6 +140,39 @@ class TestMonoApps:
         assert rc == 0
         assert len(list(out.glob("motion_*.png"))) >= 1
 
+    def test_mono_ai_cli_arch_selection(self, tmp_path, monkeypatch):
+        """--arch reaches create_model (the reference demo's MiDaS_small vs
+        DPT_Large selection, MONO/mono_depth_map_ai.py:24-69); the default
+        'small' path runs end-to-end on a real frame."""
+        from stereovision_tpu.apps import mono_ai
+
+        rng = np.random.default_rng(2)
+        frames = tmp_path / "frames"
+        frames.mkdir()
+        iio.imwrite(frames / "f_000.jpg",
+                    rng.integers(0, 255, (96, 128, 3)).astype(np.uint8))
+        out = tmp_path / "out"
+        rc = mono_ai.main(["--images", str(frames), "--out", str(out)])
+        assert rc == 0
+        assert len(list(out.glob("depth_*.png"))) == 1
+
+        # flag plumbing: every arch choice is forwarded verbatim
+        import stereovision_tpu.mono.nn as nn
+
+        seen = {}
+        real = nn.create_model
+
+        def spy(*a, **kw):
+            seen.update(kw)
+            return real()  # run the small net regardless — plumbing test
+
+        monkeypatch.setattr(nn, "create_model", spy)
+        rc = mono_ai.main(["--images", str(frames), "--out", str(out),
+                           "--arch", "dpt_large"])
+        assert rc == 0
+        assert seen["arch"] == "dpt_large"
+        assert seen["torch_state_dict"] is None
+
 
 class TestFusedApp:
     def test_fused_pipeline_runs(self, synthetic_captures, tmp_path):

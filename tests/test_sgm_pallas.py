@@ -374,3 +374,33 @@ class TestWtaStatsFromDuals:
                 )
             st = sgm_pallas.st_from_duals(hf, hb, d_valid, groups)
             np.testing.assert_array_equal(np.asarray(st), np.asarray(want[0]))
+
+    def test_int16_duals_keep_exact_sums(self):
+        """census_bits + P2 > 127 configs build int16 dual volumes whose sums
+        exceed 255 — s_t must keep the int16 form (the int8 255-clamp would
+        collapse real sums into the masked-lane sentinel and corrupt
+        right_disparity; ADVICE r4)."""
+        from stereovision_tpu.ops import sgm_pallas
+
+        rng = np.random.default_rng(7)
+        W, H, D = 32, 16, 32
+        hf = jnp.asarray(rng.integers(0, 400, (W, H, D)).astype(np.int16))
+        hb = jnp.asarray(rng.integers(0, 400, (W, H, D)).astype(np.int16))
+        st = sgm_pallas.st_from_duals(hf, hb, D)
+        assert st.dtype == jnp.int16
+        ref = jnp.transpose(hf.astype(jnp.int32) + hb.astype(jnp.int32), (2, 1, 0))
+        np.testing.assert_array_equal(np.asarray(st).astype(np.int32), np.asarray(ref))
+
+    def test_int16_volume_config_end_to_end(self):
+        """7×5 census (34 bits) at default P2=96 → int16 dual volumes
+        (sgm.py builds int16 whenever census_bits + p2 > 127): the packed
+        paths=2 LR check must still validate a plain shifted pair."""
+        left, right = small_pair(48, 144, shift=6)
+        for impl in ("xla", "pallas_interpret"):
+            p = SGMParams(num_disparities=16, pack=2, paths=2,
+                          census_ksize=7, census_wsize=5, impl=impl)
+            d, v = compute_disparity(jnp.asarray(left), jnp.asarray(right), p)
+            frac = float(np.mean(np.asarray(v)))
+            assert frac > 0.5, f"{impl}: LR-check validity collapsed to {frac}"
+            dd = np.asarray(d)[np.asarray(v)]
+            assert float(np.median(np.abs(dd - 6))) <= 1.0
