@@ -104,9 +104,37 @@ def build(variant):
                            jnp.minimum(shift_m, shift_p) + p1)
         return c + best - mp
 
+    def step_interleave5(prev, c):
+        # CORRECT stride-groups interleaved step (lane = d_local·groups + g):
+        # each group is a mod-``groups`` residue class, CLOSED under circular
+        # rolls by multiples of ``groups`` — so the full group-min is
+        # log2(dg) wrap-free roll+min doublings with NO masks and no
+        # broadcast-back. d±1 = ±groups-lane rolls with d_local boundary
+        # masks. (The 2-roll "gm_interleave" variant above only reduces 4 of
+        # the 32 group elements — it measured the op pattern, not a correct
+        # reduction; THIS is the honest cost of the banked r4 idea.)
+        import jax.experimental.pallas.tpu as _pltpu
+
+        D_ = prev.shape[-1]
+        lm = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 1)
+        shift_m = _pltpu.roll(prev, groups, prev.ndim - 1)
+        shift_p = _pltpu.roll(prev, D_ - groups, prev.ndim - 1)
+        shift_m = jnp.where(lm < groups, sp._BIG, shift_m)
+        shift_p = jnp.where(lm >= D_ - groups, sp._BIG, shift_p)
+        mp = prev
+        r = groups
+        while r < D_:  # {4, 8, 16, 32, 64} for groups=4
+            mp = jnp.minimum(mp, _pltpu.roll(mp, r, prev.ndim - 1))
+            r *= 2
+        best = jnp.minimum(jnp.minimum(prev, mp + p2),
+                           jnp.minimum(shift_m, shift_p) + p1)
+        return c + best - mp
+
     def step(prev, c):
         if variant == "gm_interleave":
             return step_interleave(prev, c)
+        if variant == "gm_interleave5":
+            return step_interleave5(prev, c)
         if variant == "gm_slice":
             return step_gm(prev, c, cat=False)
         if variant == "gm_cat":

@@ -1667,3 +1667,87 @@ def wta(agg: jax.Array, block_h: int = 8, block_w: int = 128, interpret: bool = 
         out_shape=(f32, jax.ShapeDtypeStruct((H, W), jnp.int32), f32, f32, f32),
         interpret=interpret,
     )(agg)
+
+
+# ---------------------------------------------------------------------------
+# Nearest-valid horizontal fill (both directions, one VMEM pass)
+# ---------------------------------------------------------------------------
+
+
+def _nearest_lohi_kernel(disp_ref, valid_ref, dup_ref, lo_ref, hi_ref, *, w: int):
+    # Jump-pointer doubling for BOTH horizontal nearest-valid fills entirely
+    # in VMEM: level k takes lane l∓k's running (value, has) wherever this
+    # lane is still unfilled — after ⌈log2 w⌉ levels every lane holds its
+    # nearest valid value on that side. The XLA formulation (_last_valid_scan)
+    # materializes every level as a full HBM-resident map (~4·log2(w) volume
+    # passes for the 4 directions); here the levels live in registers and the
+    # map is read once and written once. All rolls are STATIC lane rotates
+    # (k is a Python constant — the cheap kind; see _rdisp_kernel).
+    # ``has`` rides as f32 0/1: lane rotates of i1 masks are not
+    # Mosaic-supported at every width.
+    wp = disp_ref.shape[-1]
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, disp_ref.shape, 1)
+    valid = jnp.where(valid_ref[:] > 0.5, 1.0, 0.0)
+    valid = jnp.where(x_iota < w, valid, 0.0)
+    v0 = disp_ref[:] * valid
+    lval, lhas = v0, valid
+    rval, rhas = v0, valid
+    k = 1
+    while k < w:
+        # left fill (nearest valid at x' ≤ x): candidate = lane l−k
+        cv = pltpu.roll(lval, k, 1)
+        ch = jnp.where(x_iota >= k, pltpu.roll(lhas, k, 1), 0.0)
+        take = lhas < 0.5
+        lval = jnp.where(take, cv, lval)
+        lhas = jnp.where(take, ch, lhas)
+        # right fill: candidate = lane l+k (wrap masked against the REAL
+        # width — pad lanes acquire stale values during doubling)
+        cv = pltpu.roll(rval, (wp - k) % wp, 1)
+        ch = jnp.where(x_iota < w - k, pltpu.roll(rhas, (wp - k) % wp, 1), 0.0)
+        take = rhas < 0.5
+        rval = jnp.where(take, cv, rval)
+        rhas = jnp.where(take, ch, rhas)
+        k *= 2
+    dup = dup_ref[:]
+    lv = jnp.where(lhas > 0.5, lval, dup)
+    rv = jnp.where(rhas > 0.5, rval, dup)
+    lo_ref[:] = jnp.minimum(lv, rv)
+    hi_ref[:] = jnp.maximum(lv, rv)
+
+
+@functools.partial(jax.jit, static_argnames=("block_h", "interpret"))
+def nearest_valid_lohi(
+    disp: jax.Array,
+    valid: jax.Array,
+    d_up: jax.Array,
+    block_h: int = 64,
+    interpret: bool = False,
+):
+    """(H, W) disparity + validity + fallback → per-row (lo, hi): the min and
+    max of the two horizontal nearest-valid fills, with ``d_up`` substituted
+    on sides that have no valid pixel. Exactly
+    ``min/max(where(has_l, val_l, d_up), where(has_r, val_r, d_up))`` of
+    :func:`stereo.sgm._last_valid_scan` along axis 1 — one Pallas pass
+    instead of 2·log2(W) materialized XLA levels. Run on the transposed map
+    for the vertical directions (XLA batch transposes run near HBM speed)."""
+    H, W = disp.shape
+    Wp = -(-W // 128) * 128
+    nh = pl.cdiv(H, block_h)
+    Hp = nh * block_h
+    pad = ((0, Hp - H), (0, Wp - W))
+    if pad != ((0, 0), (0, 0)):
+        disp = jnp.pad(disp, pad)
+        valid = jnp.pad(valid, pad)
+        d_up = jnp.pad(d_up, pad)
+    spec = pl.BlockSpec((block_h, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
+    lo, hi = pl.pallas_call(
+        functools.partial(_nearest_lohi_kernel, w=W),
+        grid=(nh,),
+        in_specs=[spec] * 3,
+        out_specs=(spec, spec),
+        out_shape=(f32, f32),
+        interpret=interpret,
+    )(disp.astype(jnp.float32), valid.astype(jnp.float32),
+      d_up.astype(jnp.float32))
+    return lo[:H, :W], hi[:H, :W]

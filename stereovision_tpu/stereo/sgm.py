@@ -1145,18 +1145,36 @@ def _census_fill(disp, valid, d_up, cl, cr, p: SGMParams, impl: str):
     seams; the census pick decides per pixel (measured on the quality scenes:
     boxes bad2 0.64% → 0.43%, below the cv2 reference). Filled pixels are
     then smoothed with a 5×5 median of the filled map."""
-    lo = None
-    hi = None
-    for axis in (0, 1):
-        for reverse in (False, True):
-            val, has, _ = _last_valid_scan(disp, valid, axis, reverse)
-            val = jnp.where(has, val, d_up)
-            lo = val if lo is None else jnp.minimum(lo, val)
-            hi = val if hi is None else jnp.maximum(hi, val)
+    if impl == "xla":
+        lo = None
+        hi = None
+        for axis in (0, 1):
+            for reverse in (False, True):
+                val, has, _ = _last_valid_scan(disp, valid, axis, reverse)
+                val = jnp.where(has, val, d_up)
+                lo = val if lo is None else jnp.minimum(lo, val)
+                hi = val if hi is None else jnp.maximum(hi, val)
+    else:
+        # fused Pallas form: each axis's two direction fills + the d_up
+        # substitute + min/max run in ONE kernel pass (the XLA loop above
+        # materializes ~4·log2(n) full maps); vertical rides two transposes
+        from stereovision_tpu.ops import sgm_pallas
+
+        interp = impl == "pallas_interpret"
+        lo, hi = sgm_pallas.nearest_valid_lohi(disp, valid, d_up,
+                                               interpret=interp)
+        lo_v, hi_v = sgm_pallas.nearest_valid_lohi(disp.T, valid.T, d_up.T,
+                                                   interpret=interp)
+        lo = jnp.minimum(lo, lo_v.T)
+        hi = jnp.maximum(hi, hi_v.T)
     best_v = None
     best_cd = None
     cands = (lo, hi, d_up)
-    for cv, cdv in zip(cands, _census_distance_multi(cl, cr, list(cands), p, impl)):
+    # evidence is only consulted where ~valid — zero the candidate offsets at
+    # valid pixels so the gather's data-dependent block skip prunes the roll
+    # range to the (sparse) invalid pixels' candidates (offset 0 = block 0)
+    masked = [jnp.where(valid, 0.0, c) for c in cands]
+    for cv, cdv in zip(cands, _census_distance_multi(cl, cr, masked, p, impl)):
         if best_v is None:
             best_v, best_cd = cv, cdv
         else:

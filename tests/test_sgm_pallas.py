@@ -404,3 +404,59 @@ class TestWtaStatsFromDuals:
             assert frac > 0.5, f"{impl}: LR-check validity collapsed to {frac}"
             dd = np.asarray(d)[np.asarray(v)]
             assert float(np.median(np.abs(dd - 6))) <= 1.0
+
+
+class TestNearestValidLoHi:
+    def test_matches_xla_scan_composition(self):
+        """The fused Pallas lo/hi fill must equal the XLA _last_valid_scan
+        composition exactly, including all-invalid rows (d_up substitution)
+        and non-128-multiple widths (pad masking)."""
+        from stereovision_tpu.ops import sgm_pallas
+        from stereovision_tpu.stereo.sgm import _last_valid_scan
+
+        rng = np.random.default_rng(21)
+        for H, W in ((24, 200), (17, 128), (40, 72)):
+            disp = jnp.asarray(rng.uniform(0, 64, (H, W)).astype(np.float32))
+            valid = jnp.asarray(rng.uniform(size=(H, W)) < 0.4)
+            valid = valid.at[3].set(False)  # one fully-invalid row
+            d_up = jnp.asarray(rng.uniform(0, 64, (H, W)).astype(np.float32))
+
+            def xla_axis(axis):
+                lo = hi = None
+                for reverse in (False, True):
+                    val, has, _ = _last_valid_scan(disp, valid, axis, reverse)
+                    val = jnp.where(has, val, d_up)
+                    lo = val if lo is None else jnp.minimum(lo, val)
+                    hi = val if hi is None else jnp.maximum(hi, val)
+                return lo, hi
+
+            want_lo, want_hi = xla_axis(1)
+            got_lo, got_hi = sgm_pallas.nearest_valid_lohi(
+                disp, valid, d_up, block_h=8, interpret=True
+            )
+            np.testing.assert_array_equal(np.asarray(got_lo), np.asarray(want_lo))
+            np.testing.assert_array_equal(np.asarray(got_hi), np.asarray(want_hi))
+            # vertical = the same kernel on the transpose
+            want_lo, want_hi = xla_axis(0)
+            got_lo, got_hi = sgm_pallas.nearest_valid_lohi(
+                disp.T, valid.T, d_up.T, block_h=8, interpret=True
+            )
+            np.testing.assert_array_equal(np.asarray(got_lo.T), np.asarray(want_lo))
+            np.testing.assert_array_equal(np.asarray(got_hi.T), np.asarray(want_hi))
+
+    def test_census_fill_parity_across_impls(self):
+        """hier2 + fill_invalid end-to-end: the pallas_interpret fill path
+        (fused kernel) must match the XLA fill path bit-for-bit."""
+        rng = np.random.default_rng(5)
+        base = rng.uniform(0, 255, (48, 170)).astype(np.float32)
+        import scipy.ndimage as ndi  # smooth → realistic disparity structure
+
+        base = ndi.gaussian_filter(base, 2.0) if hasattr(ndi, "gaussian_filter") else base
+        left, right = base[:, :160], base[:, 8:168]
+        p_x = SGMParams(num_disparities=32, mode="hier2", refine_range=16,
+                        coarse_scale=2, fill_invalid=True, impl="xla")
+        p_p = dataclasses.replace(p_x, impl="pallas_interpret")
+        dx, vx = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_x)
+        dp, vp = compute_disparity(jnp.asarray(left), jnp.asarray(right), p_p)
+        np.testing.assert_array_equal(np.asarray(dp), np.asarray(dx))
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(vx))
