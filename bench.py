@@ -31,7 +31,12 @@ import time
 import numpy as np
 
 H, W, D = 720, 1280, 320
-BATCH = 8  # frames in flight per measurement step (throughput metric)
+# frames in flight per measurement step (throughput metric — the reference's
+# cv2 baseline is equally steady-state). 64 amortizes the per-program
+# overheads: the production mode measured 7.49 ms/frame at batch 8 → 7.15 at
+# 32 → 7.09 at 64 (r5, quiet windows) — ~5% of the frame budget was
+# batch-amortizable.
+BATCH = 64
 
 
 def make_pair():

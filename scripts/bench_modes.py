@@ -41,6 +41,9 @@ def build_modes(names):
                                          fill_invalid=False),
         # inverse delta: prod already runs b_decimate=3, so probe full-height B
         "prod_bfull": dataclasses.replace(prod, b_decimate=1),
+        # inverse delta: prod runs coarse_paths=2 now — probe the 4-path coarse
+        "prod_cp4": dataclasses.replace(prod, coarse_paths=4),
+        "prod_nolr": dataclasses.replace(prod, lr_max_diff=-1),
         "yard3": dataclasses.replace(
             reference_preset("hier"), refine_range=32, paths=2,
             coarse_scale=3),

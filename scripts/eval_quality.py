@@ -189,7 +189,9 @@ def run_ours(left, right, mode):
         import dataclasses
 
         p = production_preset()
-        if mode.startswith("prod_cs"):
+        if mode == "prod_cp4":
+            p = dataclasses.replace(p, coarse_paths=4)
+        elif mode.startswith("prod_cs"):
             p = dataclasses.replace(p, coarse_scale=int(mode[7:]))
         elif mode == "prod_bfull":
             p = dataclasses.replace(p, b_decimate=1)

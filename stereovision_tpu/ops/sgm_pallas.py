@@ -1267,13 +1267,21 @@ def st_from_duals(hf_t, hb_t, d_valid: int, groups: int = 1):
     form: a 255 clamp there would collapse real sums into the sentinel."""
     D = hf_t.shape[-1]
     dg = D // groups
+    if hf_t.dtype == jnp.int8:
+        # sums ≤ 254: build the transpose directly in uint8 (no int32
+        # intermediate); masked lanes take 255 → the same 127 sentinel
+        st = jnp.transpose(hf_t.astype(jnp.uint8) + hb_t.astype(jnp.uint8),
+                           (2, 1, 0))
+        if d_valid < dg:
+            p_iota = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+            dl = p_iota % dg if groups > 1 else p_iota
+            st = jnp.where(dl >= d_valid, jnp.uint8(255), st)
+        return (st.astype(jnp.int16) - 128).astype(jnp.int8)
     st = jnp.transpose(hf_t.astype(jnp.int32) + hb_t.astype(jnp.int32), (2, 1, 0))
     if d_valid < dg:
         p_iota = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
         dl = p_iota % dg if groups > 1 else p_iota
         st = jnp.where(dl >= d_valid, _BIGI >> 8, st)
-    if hf_t.dtype == jnp.int8:
-        return (jnp.minimum(st, 255) - 128).astype(jnp.int8)
     return jnp.minimum(st, 30000).astype(jnp.int16)
 
 
@@ -1287,30 +1295,41 @@ def _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid: int, groups: int,
     integer sums, same smallest-d tie resolution)."""
     D = hf_t.shape[-1]
     dg = D // groups
-    st = jnp.transpose(hf_t.astype(jnp.int32) + hb_t.astype(jnp.int32), (2, 1, 0))
+    u8 = vf is None and hf_t.dtype == jnp.int8
+    if u8:
+        # paths=2 int8 duals: every sum is ≤ 254 (each path clamps at 127),
+        # so the summed-transposed volume materializes as UINT8 — ¼ the
+        # int32 form's HBM footprint for the pass the statistics re-read.
+        # Masked lanes carry 255: strictly above any real sum, so argmin /
+        # competitor ordering is unchanged, and the int8 s_t emission maps
+        # it to the same 127 sentinel as the int32 sentinel did.
+        st = jnp.transpose(hf_t.astype(jnp.uint8) + hb_t.astype(jnp.uint8),
+                           (2, 1, 0))
+    else:
+        st = jnp.transpose(hf_t.astype(jnp.int32) + hb_t.astype(jnp.int32), (2, 1, 0))
     if vf is not None:  # paths=2 sums the horizontal pair only
         st = st + jnp.transpose(vf.astype(jnp.int32) + vb.astype(jnp.int32), (2, 0, 1))
     p_iota = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
     dl = p_iota % dg if groups > 1 else p_iota
     if d_valid < dg:
-        st = jnp.where(dl >= d_valid, _BIGI >> 8, st)
+        st = jnp.where(dl >= d_valid,
+                       jnp.uint8(255) if u8 else _BIGI >> 8, st)
     st_sl = st if st_planes is None else st[:st_planes]
-    if vf is None and hf_t.dtype == jnp.int8:
-        # two int8 volumes sum to ≤ 254: store s_t OFFSET by −128 as int8
-        # (order-preserving — right_disparity only argmins; masked lanes
-        # clamp to the 127 sentinel > any real 240−128). Halves the LR
-        # chain's dominant HBM traffic (s_t write + rdisp read).
-        # ``st_planes`` keeps only the leading lane planes (the packed
-        # core's LR-checked strips) — the rest never reach HBM.
-        # int16 duals (census_bits + P2 > 127) keep the int16 form below:
-        # a 255 clamp would collapse real sums into the sentinel.
-        s_t = (jnp.minimum(st_sl, 255) - 128).astype(jnp.int8)
+    if u8:
+        # s_t OFFSET by −128 as int8 (order-preserving — right_disparity
+        # only argmins; masked 255 → the 127 sentinel > any real 254−128).
+        # Halves the LR chain's dominant HBM traffic (s_t write + rdisp
+        # read). ``st_planes`` keeps only the leading lane planes (the
+        # packed core's LR-checked strips) — the rest never reach HBM.
+        s_t = (st_sl.astype(jnp.int16) - 128).astype(jnp.int8)
     else:
+        # int16 duals (census_bits + P2 > 127) keep the int16 form: a 255
+        # clamp would collapse real sums into the sentinel.
         s_t = jnp.minimum(st_sl, 30000).astype(jnp.int16)
     # stats reduce the UNCLAMPED masked sum — bit-identical to the lane-dim
     # formulation even on pad lanes (the clamp only exists to fit s_t's int16);
     # XLA fuses the s_t store and these reductions into the same pass over st
-    s = st
+    s = st.astype(jnp.int32)
     dp = 1
     while dp < dg:
         dp *= 2
@@ -1324,6 +1343,14 @@ def _sum_wta_st_first(hf_t, hb_t, vf, vb, d_valid: int, groups: int,
         idx = kmin % dp
         cm = jnp.min(jnp.where(dli == idx[None] - 1, sg, _BIGI), axis=0)
         cp = jnp.min(jnp.where(dli == idx[None] + 1, sg, _BIGI), axis=0)
+        if u8 and d_valid < dg:
+            # idx can sit at d_valid−1, whose +1 neighbor is a masked lane:
+            # restore the int32 form's 2²¹ sentinel there (a REAL sum is
+            # ≤ 254, so cp == 255 ⟺ masked) — keeps the raw stats
+            # bit-identical to the lane-reduction kernel and the int32 path.
+            # cm (idx−1 is always real) and comp (a real competitor ≤ 254
+            # always beats 255) cannot select a masked lane.
+            cp = jnp.where(cp == 255, _BIGI >> 8, cp)
         comp = jnp.min(jnp.where(jnp.abs(dli - idx[None]) > 1, sg, _BIGI), axis=0)
         outs.append((best, idx, cm, cp, comp))
     if groups == 1:

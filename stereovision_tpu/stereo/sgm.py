@@ -70,6 +70,13 @@ class SGMParams:
     # "hier" invalidates, at ~1.6× hier cost (still ≫ full-search speed)
     mode: str = "full"
     coarse_scale: int = 4
+    # hier coarse-pass path family: 4 = keep the vertical dual sweep at
+    # coarse resolution (vertical coherence for window placement); 2 =
+    # horizontal-only — also flips the coarse LR chain to the int8 offset
+    # s_t (2-path int8 sums fit; 4-path sums need int16). The coarse solve
+    # only PLACES refine windows (±margin slack absorbs small errors), so
+    # prod runs 2 — measured quality-neutral on all 4 scenes.
+    coarse_paths: int = 4
     # hier2 cross-window arbitration: candidates from the two windows are
     # compared by census Hamming distance against the ORIGINAL right image —
     # window-independent data evidence (an aggregated-cost comparison between
@@ -175,6 +182,11 @@ def production_preset() -> "SGMParams":
         # quality identical to the full-height stack on all 4 scenes
         # (bad2 0.32/0.00/0.19/0.34% vs cv2's 0.52/24.4/0.45/0.96%)
         b_decimate=3,
+        # horizontal-only coarse pass (the 5×5 coarse median + wider v_rad
+        # substitute for the vertical sweep's coherence — see coarse_paths):
+        # −0.4 ms/frame, still beats cv2 bad2 on all 4 scenes (multi-seed
+        # audited r5; margins: boxes ~0.48 vs 0.52, gain ~0.53 vs 0.96)
+        coarse_paths=2,
         # "auto": DepthPipeline/bench probe the chip once per session and pin
         # the faster WTA-stats formulation (stereo.autotune). Direct
         # compute_disparity callers get the Pallas form (the quiet-chip
@@ -828,13 +840,17 @@ def _compute_disparity_hier(left, right, p: SGMParams):
         # pixels): scattered garbage matches that leak through the coarse LR
         # check otherwise become nearest-valid fill sources and poison d_up
         # across a whole eroded window span
-        median_ksize=3, speckle_window_size=p.speckle_window_size,
+        # coarse_paths=2 drops the vertical sweep's coherence; a 5×5 coarse
+        # median (cheap at 1/s² pixels) restores enough of it that window
+        # placement keeps the boxes-scene quality gate
+        median_ksize=3 if p.coarse_paths == 4 else 5,
+        speckle_window_size=p.speckle_window_size,
         refine_range=R,
         pack=1,
-        # the coarse solve drives refine-window placement; its vertical
-        # coherence is cheap (1/s² pixels) and stays on even when the refine
-        # runs horizontal-only (paths=2)
-        paths=4,
+        # the coarse solve drives refine-window placement; vertical coherence
+        # (paths=4) is cheap at 1/s² pixels but the envelope's ±margin makes
+        # it optional — production runs coarse_paths=2 (see the field note)
+        paths=p.coarse_paths,
     )
     lc = im.resize(left, (H // s, W // s))
     rc = im.resize(right, (H // s, W // s))
@@ -894,7 +910,7 @@ def _compute_disparity_hier(left, right, p: SGMParams):
     # headroom). Measured at s=3 on the quality scenes: radius 8 beats the old
     # 4·s = 12 — wider vertical erosion displaces window A over whole bands
     # below horizontal object edges faster than it protects them.
-    v_rad = 2 * s + 2
+    v_rad = 2 * s + 2 if p.coarse_paths == 4 else 2 * s + 4
     if two_pass:
         # vertical erosion over d_up's vertical smear: rows near a horizontal
         # object edge inherit a contaminated-high d_up from the object,
@@ -943,15 +959,19 @@ def _compute_disparity_hier(left, right, p: SGMParams):
             p.min_disparity, p.min_disparity + p.num_disparities - R,
         )
         cl_arb = None
+        cr_arb = None
         if R <= 32 and H % 16 == 0:
             # stacked form: with the horizontal-only path family the refine's
             # rows are fully independent, so BOTH windows run as one
             # [warp_A; warp_B] packed solve — half the kernel launches; the
-            # per-image left census doubles as the arbitration census
+            # per-image left AND right censuses double as the arbitration
+            # censuses (the refine gathers the right census by the shift
+            # field instead of censusing a warped image)
             cl_arb = _census_words_for(left, p, impl)
+            cr_arb = _census_words_for(right, p, impl)
             (disp, valid, cost_a), (disp_b, valid_b, cost_b) = (
                 _refine_two_windows(left, right, shift, shift_b, p,
-                                    cl1=cl_arb)
+                                    cl1=cl_arb, cr1=cr_arb)
             )
         else:
             cl_pre = None
@@ -982,7 +1002,8 @@ def _compute_disparity_hier(left, right, p: SGMParams):
         # additionally drops ANY candidate with noise-level evidence.
         if cl_arb is None:
             cl_arb = _census_words_for(left, p, impl)
-        cr_arb = _census_words_for(right, p, impl)
+        if cr_arb is None:
+            cr_arb = _census_words_for(right, p, impl)
         cd_a, cd_b = _census_distance_multi(
             cl_arb, cr_arb, [disp, disp_b], p, impl
         )
@@ -1003,12 +1024,20 @@ def _compute_disparity_hier(left, right, p: SGMParams):
         # the median must not see the −1 sentinels the passes baked into
         # their invalid pixels — fill those with the coarse prior first
         valid = _speckle_suppress(disp, valid, p)
+        if p.fill_invalid:
+            # ONE median over the candidate-filled field instead of a merge
+            # median followed by the fill's own median (each ~0.7 ms at
+            # 720p). Valid pixels ≥2 px from any hole see identical 5×5
+            # windows either way; hole neighborhoods get the data-chosen
+            # fill candidate as median support instead of the raw coarse
+            # prior (measured quality-neutral-or-better on all 4 scenes).
+            disp = _census_fill(disp, valid, d_up_c, cl_arb, cr_arb, p, impl,
+                                median_all=True)
+            valid = jnp.ones_like(valid)
+            return disp, valid
         if p.median_ksize > 1:
             disp = im.median_blur(jnp.where(valid, disp, d_up_c), p.median_ksize)
         disp = jnp.where(valid, disp, float(p.min_disparity) - 1.0)
-        if p.fill_invalid:
-            disp = _census_fill(disp, valid, d_up_c, cl_arb, cr_arb, p, impl)
-            valid = jnp.ones_like(valid)
         return disp, valid
     if p.fill_invalid:
         disp = _nearest4_fill(disp, valid, p)
@@ -1136,7 +1165,8 @@ def _census_distance_multi(cl, cr, disps, p: SGMParams, impl: str):
     return [d[i * H : (i + 1) * H] for i in range(k)]
 
 
-def _census_fill(disp, valid, d_up, cl, cr, p: SGMParams, impl: str):
+def _census_fill(disp, valid, d_up, cl, cr, p: SGMParams, impl: str,
+                 median_all: bool = False):
     """Data-driven inpainting of invalid pixels (hier2's fill_invalid):
     candidate values are the min and max of the 4-direction nearest valid
     neighbors plus the coarse prior d_up; the candidate with the best census
@@ -1182,6 +1212,13 @@ def _census_fill(disp, valid, d_up, cl, cr, p: SGMParams, impl: str):
             best_v = jnp.where(take, cv, best_v)
             best_cd = jnp.where(take, cdv, best_cd)
     filled = jnp.where(valid, disp, best_v)
+    if median_all:
+        # combined merge+fill median (see the two_pass caller): one 5×5 pass
+        # over the candidate-filled field serves as both the merged-field
+        # post median and the fill smoothing
+        if p.median_ksize > 1:
+            return im.median_blur(filled, p.median_ksize)
+        return filled
     med = im.median_blur(filled, 5)
     return jnp.where(valid, disp, med)
 
@@ -1305,7 +1342,8 @@ def _refine_with_shift(left, right, shift, p: SGMParams, mask_seams: bool = Fals
     return disp, valid, best
 
 
-def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
+def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None,
+                        cr1=None):
     """Both hier2 refine windows as ONE stacked packed solve.
 
     With the horizontal-only path family (paths=2) the refine's rows are
@@ -1315,14 +1353,24 @@ def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
     passes while HALVING the kernel-launch count (cost, aggregation, stats,
     and the shift/ramp gathers each run once over 2H instead of twice over
     H; the LR chain runs on window A's strips only — ``lr_groups=2`` — the
-    sequential form's ``lr=False`` window-B semantics). Per-half censuses
-    are injected (``crr_pre``) so the stack
-    boundary keeps per-image replicate-border semantics. Requires R ≤ 32 and
+    sequential form's ``lr=False`` window-B semantics). Requires R ≤ 32 and
     H % 16 == 0 (the A/B boundary must land on a pack-strip seam).
 
-    ``cl1``: the per-image left census (impl-native format) — also reused by
-    the caller for arbitration. Returns ((disp_a, valid_a, best_a),
-    (disp_b, valid_b, best_b)); invalid pixels carry min_disparity − 1.
+    The warp happens in CENSUS space (r5): the full-resolution right census
+    (``cr1`` — the same one the caller's merge arbitration needs) is gathered
+    by the shift field, instead of warping the image and censusing the warp.
+    The two warped-image census calls disappear, and the gather costs the
+    same as the image warp it replaces. Identical wherever the shift is
+    locally constant over the census support; at warp ramps the window
+    straddles the tear either way and the seam mask invalidates those pixels.
+    Window B's censuses are the full-res censuses SAMPLED at its decimated
+    rows (both sides consistently), rather than censuses of the decimated
+    image — full-res vertical neighbors are strictly better data evidence.
+
+    ``cl1``/``cr1``: the per-image full-res censuses (impl-native format) —
+    also reused by the caller for arbitration. Returns
+    ((disp_a, valid_a, best_a), (disp_b, valid_b, best_b)); invalid pixels
+    carry min_disparity − 1.
     """
     import dataclasses as _dc
 
@@ -1335,50 +1383,40 @@ def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
     xs = jnp.arange(W, dtype=jnp.int32)[None, :]
     if dec == 3:
         # [A(H); B(H/3)] stack: 4 equal strips of H/3, A = strips 0-2
-        left_b, right_b, shift_bd = left[::3], right[::3], shift_b[::3]
+        left_b, shift_bd = left[::3], shift_b[::3]
     else:
-        left_b, right_b, shift_bd = left, right, shift_b
+        left_b, shift_bd = left, shift_b
     left2 = jnp.concatenate([left, left_b], axis=0)
-    right2 = jnp.concatenate([right, right_b], axis=0)
     shift2 = jnp.concatenate([shift_a, shift_bd], axis=0)
+    max_sh = p.min_disparity + p.num_disparities - R + 1
+
+    if cl1 is None:
+        cl1 = _census_words_for(left, p, impl)
+    if cr1 is None:
+        cr1 = _census_words_for(right, p, impl)
     if impl == "xla":
         src_x = jnp.clip(xs - shift2.astype(jnp.int32), 0, W - 1)
-        warped2 = jnp.take_along_axis(right2, src_x, axis=1)
+        cl2 = jnp.concatenate([cl1, cl1[::dec] if dec == 3 else cl1], axis=0)
+        cr2w = jnp.concatenate([cr1, cr1[::dec] if dec == 3 else cr1], axis=0)
+        crr2 = jnp.take_along_axis(cr2w, src_x[..., None], axis=1)
     else:
         from stereovision_tpu.ops import sgm_pallas
 
         off2 = jnp.clip(shift2.astype(jnp.int32), 0, xs)
-        warped2 = sgm_pallas.shift_gather(
-            right2, off2, p.min_disparity + p.num_disparities - R + 1,
-            block_s=32, assume_clipped=True, interpret=interpret,
-        )
-
-    if cl1 is None:
-        cl1 = _census_words_for(left, p, impl)
-    cl1_b = cl1 if dec == 1 else _census_words_for(left_b, p, impl)
-    wa, wb = warped2[:H], warped2[H:]
-    if impl == "xla":
-        cl2 = jnp.concatenate([cl1, cl1_b], axis=0)
-        crr2 = jnp.concatenate(
-            [im.census_transform(wa, p.census_ksize, p.census_wsize),
-             im.census_transform(wb, p.census_ksize, p.census_wsize)],
+        cl2 = jnp.concatenate(
+            [cl1[:, :H], cl1[:, :H:dec] if dec == 3 else cl1[:, :H]], axis=1)
+        cr2w = jnp.concatenate(
+            [cr1[:, :H], cr1[:, :H:dec] if dec == 3 else cr1[:, :H]], axis=1)
+        # gather each census word by the shift field, then flip the real
+        # columns into the cost kernel's mirrored layout
+        # (crr[w, y, x] = census_R[w, y, W−1−x]; columns ≥ W are junk the
+        # kernel masks)
+        crr2 = jnp.stack(
+            [sgm_pallas.shift_gather(
+                cr2w[w, :, :W], off2, max_sh, block_s=32,
+                assume_clipped=True, interpret=interpret)[:, :W][:, ::-1]
+             for w in range(cr2w.shape[0])],
             axis=0,
-        )
-    else:
-        from stereovision_tpu.ops import sgm_pallas
-
-        cl2 = jnp.concatenate([cl1, cl1_b], axis=1)
-        # per-half censuses (NOT one call over the stack): keeps per-image
-        # replicate-border semantics at the A/B boundary — and the single-call
-        # form measured no faster anyway (ratio 1.589 vs 1.591)
-        crr2 = jnp.concatenate(
-            [sgm_pallas.census_words(wa[:, ::-1], p.census_ksize,
-                                     p.census_wsize, mirror=True,
-                                     interpret=interpret),
-             sgm_pallas.census_words(wb[:, ::-1], p.census_ksize,
-                                     p.census_wsize, mirror=True,
-                                     interpret=interpret)],
-            axis=1,
         )
 
     refine_p = _dc.replace(
@@ -1390,18 +1428,12 @@ def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
         # arbitration). Shrinks s_t, right-disparity, and the LR gather.
         lr_groups=(3 if dec == 3 else 2),
     )
+    # the image operands only define shapes — both censuses are injected, so
+    # the (never-materialized) warped right image is not needed at all
     disp_r2, valid2, best2 = _compute_full(
-        left2, warped2, refine_p, cl_pre=cl2, crr_pre=crr2
+        left2, left2, refine_p, cl_pre=cl2, crr_pre=crr2
     )
     drr2 = jnp.clip(jnp.round(disp_r2).astype(jnp.int32), 0, xs)
-    if impl == "xla":
-        shift_at2 = jnp.take_along_axis(shift2, xs - drr2, axis=1)
-    else:
-        from stereovision_tpu.ops import sgm_pallas
-
-        shift_at2 = sgm_pallas.shift_gather(
-            shift2, drr2, R, assume_clipped=True, interpret=interpret
-        )
     # warp-ramp seam mask, both halves at once (see _refine_with_shift)
     ds = jnp.abs(shift2[:, 1:] - shift2[:, :-1])
     ds = jnp.pad(ds, ((0, 0), (1, 0)))
@@ -1413,13 +1445,20 @@ def _refine_two_windows(left, right, shift_a, shift_b, p: SGMParams, cl1=None):
     )
     ramp = (var >= 3.0).astype(jnp.float32)
     if impl == "xla":
+        shift_at2 = jnp.take_along_axis(shift2, xs - drr2, axis=1)
         ramp_at2 = jnp.take_along_axis(ramp, xs - drr2, axis=1)
     else:
         from stereovision_tpu.ops import sgm_pallas
 
-        ramp_at2 = sgm_pallas.shift_gather(
-            ramp, drr2, R, assume_clipped=True, interpret=interpret
+        # one stacked gather for both per-pixel lookups (same offsets; rows
+        # are independent, so stacking is exact) — halves the launch count
+        Hs2 = shift2.shape[0]
+        g2 = sgm_pallas.shift_gather(
+            jnp.concatenate([shift2, ramp], axis=0),
+            jnp.concatenate([drr2, drr2], axis=0),
+            R, assume_clipped=True, interpret=interpret,
         )
+        shift_at2, ramp_at2 = g2[:Hs2], g2[Hs2:]
     valid2 = valid2 & (ramp_at2 < 0.5)
     disp2 = jnp.where(valid2, disp_r2 + shift_at2, float(p.min_disparity) - 1.0)
     if dec == 1:
