@@ -361,7 +361,13 @@ class FusedPipeline:
 
         self.proc, self.cal = _rescale_calibration(cal, scale)
         num_disp = max(16, int(320 * scale) // 16 * 16)
-        self.sgm = SGMParams(num_disparities=num_disp)
+        # hierarchical engine, not the default full search: at the 0.33 proc
+        # scale the full 96-disparity unpacked solve measured 19.7 ms/frame
+        # (chained) vs ~4 for the packed hier refine — the fused pipeline's
+        # largest single stage by far (r5). Window geometry (coarse 1/2,
+        # R=32, paths=2, pack=4) matches the proven full-res hier config.
+        self.sgm = SGMParams(num_disparities=num_disp, mode="hier",
+                             coarse_scale=2, refine_range=32, paths=2)
         self.depth_pipe = DepthPipeline(self.cal, self.sgm)
         self.fusion_params = fusion_params or FusionParams()
         self.hysteresis = OcclusionHysteresis()
