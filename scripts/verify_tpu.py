@@ -170,6 +170,40 @@ def main():
     s_i2 = sgm_pallas.speckle_counts(dv, 15, 32.0, 6, interpret=True)
     check("speckle_counts", s_t2, s_i2)
 
+    # separable remap on REAL rectification maps (the pipelines' TPU path):
+    # compiled-vs-interpret bit parity, plus closeness to the exact gather
+    # (the separable form is an approximation — O(cross-derivative · |dx|))
+    from stereovision_tpu.core import geometry as geom_v
+    from stereovision_tpu.core import image as im_v
+
+    Kv = jnp.asarray([[700.0, 0, W / 2], [0, 700.0, H / 2], [0, 0, 1]])
+    dv0 = jnp.zeros(5)
+    Rv = jnp.asarray(np.eye(3))
+    Tv = jnp.asarray([-5.0, 0.3, 0.2])
+    R1v, R2v, P1v, P2v, _ = geom_v.stereo_rectify(
+        Kv, dv0, Kv, dv0, (W, H), Rv, Tv, alpha=0.0)
+    mxv, myv = geom_v.init_undistort_rectify_map(Kv, dv0, R1v, P1v, (W, H))
+    prep_v = im_v.prepare_separable_remap(np.asarray(mxv), np.asarray(myv))
+    assert prep_v is not None, "separable remap must apply to Bouguet maps"
+    mya_v, val_v, rxv, ryv = prep_v
+    mya_v, val_v = jnp.asarray(mya_v), jnp.asarray(val_v)
+    # closeness is judged on BLURRED content: the residual is
+    # O(cross-derivative · 1 px) of VERTICAL sampling position, which on
+    # white noise (gradient ~±75/px) reads as ~0.9 intensity median while on
+    # any real frame it is ≪ one intensity step
+    img_sm = im_v.gaussian_blur(imgj, 5)
+    sep_t = im_v.remap_separable(img_sm, mxv, mya_v, val_v, rxv, ryv)
+    sep_i = im_v.remap_separable(img_sm, mxv, mya_v, val_v, rxv, ryv,
+                                 interpret=True)
+    check("remap_separable", sep_t, sep_i)
+    exact = np.asarray(im_v.remap(img_sm, mxv, myv))
+    dsep = np.abs(np.asarray(sep_t) - exact)[exact != 0]
+    ok_sep = float(np.median(dsep)) < 0.3 if dsep.size else True
+    print(f"{'remap_separable vs exact':>24}: "
+          f"{'OK' if ok_sep else f'MISMATCH (med {float(np.median(dsep)):.3f})'}")
+    if not ok_sep:
+        failures.append("remap_separable vs exact")
+
     # end-to-end small
     from stereovision_tpu.stereo import SGMParams, compute_disparity
     import dataclasses as dc

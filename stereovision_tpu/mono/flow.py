@@ -26,26 +26,9 @@ WARP_RANGE = 32
 
 
 def _warp_axis_shift(src, off, R: int, interpret: bool):
-    """out[y, x] = lerp(src[y, x+⌊off⌋], src[y, x+⌊off⌋+1]) along the last
-    axis, |off| < R, replicate borders — as 2 bounded shift_gather calls
-    (max_offset lane rotates with data-dependent block skip) instead of a
-    per-element gather."""
-    from stereovision_tpu.ops import sgm_pallas
-
-    H, W = src.shape
-    off = jnp.clip(off, -R, R - 1 - 1e-4)
-    fl = jnp.floor(off)
-    frac = off - fl
-    P = jnp.pad(src, ((0, 0), (R, R)), mode="edge")
-    offs = (R - fl).astype(jnp.int32)              # ∈ [1, 2R]
-    offs_full = jnp.pad(offs, ((0, 0), (2 * R, 0)))
-    g0 = sgm_pallas.shift_gather(
-        P, offs_full, max_offset=2 * R + 1, assume_clipped=True,
-        interpret=interpret)[:, 2 * R:]
-    g1 = sgm_pallas.shift_gather(
-        P, offs_full - 1, max_offset=2 * R + 1, assume_clipped=True,
-        interpret=interpret)[:, 2 * R:]
-    return g0 * (1.0 - frac) + g1 * frac
+    """1-D lerp-shift warp — shared with the separable remap
+    (:func:`core.image.warp_axis_shift`)."""
+    return im.warp_axis_shift(src, off, R, interpret)
 
 
 def warp_separable(curr, flow, R: int = WARP_RANGE, interpret: bool = False):

@@ -35,6 +35,18 @@ class DepthResult:
     depth_m: jax.Array     # (H, W) meters, 0 where invalid
 
 
+def _rect_remap(img, mx, my, ranges, aux):
+    """Rectification remap: the exact per-element gather (ranges=None — CPU,
+    or the separable decomposition does not apply), or the Catmull–Smith
+    separable shift-gather form with STATIC roll bounds (TPU;
+    core.image.remap_separable). ``aux`` = (map_y_adj, valid) from
+    core.image.prepare_separable_remap."""
+    if ranges is None or aux is None:
+        return im.remap(img, mx, my)
+    my_adj, valid = aux
+    return im.remap_separable(img, mx, my_adj, valid, ranges[0], ranges[1])
+
+
 class DepthPipeline:
     """Rectification + disparity + metric depth as one jitted call."""
 
@@ -63,6 +75,23 @@ class DepthPipeline:
             jnp.asarray(cal["mtx_right"]), jnp.asarray(np.ravel(cal["dist_right"])),
             jnp.asarray(cal["R2"]), jnp.asarray(cal["P2"]), size)
         self._maps = (mx1, my1, mx2, my2)
+        # static displacement bounds for the separable remap (TPU): the
+        # per-element 2-D gather costs ~13 ms per 422×633 call on-chip while
+        # the two 1-D shift-gather passes cost ~1 ms; huge displacements
+        # (pathological calibrations) fall back to the exact gather
+        from stereovision_tpu.utils.backend import is_tpu_backend
+
+        self._remap_ranges = None
+        self._remap_aux = None
+        if is_tpu_backend():
+            p1 = im.prepare_separable_remap(np.asarray(mx1), np.asarray(my1))
+            p2 = im.prepare_separable_remap(np.asarray(mx2), np.asarray(my2))
+            if p1 is not None and p2 is not None:
+                self._remap_ranges = (max(p1[2], p2[2]), max(p1[3], p2[3]))
+                self._remap_aux = (
+                    (jnp.asarray(p1[0]), jnp.asarray(p1[1])),
+                    (jnp.asarray(p2[0]), jnp.asarray(p2[1])),
+                )
         self.focal = float(np.asarray(cal["P1"])[0, 0])
         self.baseline_m = abs(float(np.asarray(cal["T"]).ravel()[0])) / 100.0
         self.params = params
@@ -78,8 +107,9 @@ class DepthPipeline:
             if left.shape != (h, w):
                 left = im.resize(left, (h, w))
                 right = im.resize(right, (h, w))
-            lr = im.remap(left, mx1, my1)
-            rr = im.remap(right, mx2, my2)
+            aux = self._remap_aux or (None, None)
+            lr = _rect_remap(left, mx1, my1, self._remap_ranges, aux[0])
+            rr = _rect_remap(right, mx2, my2, self._remap_ranges, aux[1])
             disp, conf = disparity_with_confidence(lr, rr, params)
             depth = geom.disparity_to_depth(disp, self.focal, self.baseline_m)
             depth = jnp.clip(depth, min_d, max_d)
@@ -181,12 +211,14 @@ def _rescale_calibration(cal: dict, scale: float):
     static_argnames=(
         "proc", "sgm", "fusion_params", "flow_params", "model",
         "stereo_on", "use_midas", "use_flow", "flow_src_right",
+        "remap_ranges",
     ),
 )
 def _fused_step(
     left, right, mx1, my1, mx2, my2, variables, flow_state, t_now,
-    focal, baseline_cm, *, proc, sgm, fusion_params, flow_params, model,
-    stereo_on, use_midas, use_flow, flow_src_right,
+    focal, baseline_cm, remap_aux=None, *, proc, sgm, fusion_params,
+    flow_params, model,
+    stereo_on, use_midas, use_flow, flow_src_right, remap_ranges=None,
 ):
     """One fused frame as ONE compiled program: resize → rectify → occlusion
     metrics → stereo + NN + flow depth → fusion → meters.
@@ -206,8 +238,11 @@ def _fused_step(
     from stereovision_tpu.mono import flow_depth_step
 
     h, w = proc[1], proc[0]
-    lr = im.remap(im.resize(left.astype(jnp.float32), (h, w)), mx1, my1)
-    rr = im.remap(im.resize(right.astype(jnp.float32), (h, w)), mx2, my2)
+    aux1, aux2 = remap_aux if remap_aux is not None else (None, None)
+    lr = _rect_remap(im.resize(left.astype(jnp.float32), (h, w)), mx1, my1,
+                     remap_ranges, aux1)
+    rr = _rect_remap(im.resize(right.astype(jnp.float32), (h, w)), mx2, my2,
+                     remap_ranges, aux2)
     ls, rs = occlusion_scores(lr, rr)
 
     stereo_norm = stereo_conf = None
@@ -260,13 +295,14 @@ def _fused_step(
     jax.jit,
     static_argnames=(
         "proc", "sgm", "fusion_params", "flow_params", "model",
-        "use_midas", "use_flow",
+        "use_midas", "use_flow", "remap_ranges",
     ),
 )
 def _fused_stream(
     lefts, rights, ts, mx1, my1, mx2, my2, variables, flow_state, hyst,
-    focal, baseline_cm, *, proc, sgm, fusion_params, flow_params, model,
-    use_midas, use_flow,
+    focal, baseline_cm, remap_aux=None, *, proc, sgm, fusion_params,
+    flow_params, model,
+    use_midas, use_flow, remap_ranges=None,
 ):
     """A chunk of frames as ONE program: lax.scan of the fused step over the
     frame axis, with the occlusion hysteresis run on-device (traced int32
@@ -292,8 +328,11 @@ def _fused_stream(
     def step(carry, inp):
         flow_st, hy = carry
         left, right, t_now = inp
-        lr = im.remap(im.resize(left.astype(jnp.float32), (h, w)), mx1, my1)
-        rr = im.remap(im.resize(right.astype(jnp.float32), (h, w)), mx2, my2)
+        aux1, aux2 = remap_aux if remap_aux is not None else (None, None)
+        lr = _rect_remap(im.resize(left.astype(jnp.float32), (h, w)), mx1,
+                         my1, remap_ranges, aux1)
+        rr = _rect_remap(im.resize(right.astype(jnp.float32), (h, w)), mx2,
+                         my2, remap_ranges, aux2)
         ls, rs = occlusion_scores(lr, rr)
         hy = hysteresis_update(hy, classify_occlusion_code(ls, rs))
         state = hy[0]
@@ -423,11 +462,13 @@ class FusedPipeline:
             self.variables, self.flow_state, jnp.float32(t_now),
             jnp.float32(self.depth_pipe.focal),
             jnp.float32(self.depth_pipe.baseline_m * 100.0),
+            self.depth_pipe._remap_aux,
             proc=self.proc, sgm=self.sgm, fusion_params=self.fusion_params,
             flow_params=self.flow_params, model=self.model,
             stereo_on=stereo_on, use_midas=self.use_midas,
             use_flow=self.flow_state is not None,
             flow_src_right=state == "left",
+            remap_ranges=self.depth_pipe._remap_ranges,
         )
         if self.flow_state is not None:
             self.flow_state = new_flow_state
@@ -470,9 +511,11 @@ class FusedPipeline:
             self.variables, self.flow_state, hyst0,
             jnp.float32(self.depth_pipe.focal),
             jnp.float32(self.depth_pipe.baseline_m * 100.0),
+            self.depth_pipe._remap_aux,
             proc=self.proc, sgm=self.sgm, fusion_params=self.fusion_params,
             flow_params=self.flow_params, model=self.model,
             use_midas=self.use_midas, use_flow=use_flow,
+            remap_ranges=self.depth_pipe._remap_ranges,
         )
         if use_flow:
             self.flow_state = flow_state

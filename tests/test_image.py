@@ -141,3 +141,48 @@ class TestColormap:
         rgb = np.asarray(im.apply_colormap(img, "jet", bgr=False))
         assert rgb[0, 0, 2] > 100 and rgb[0, 0, 0] < 50
         assert rgb[0, 2, 0] > 100 and rgb[0, 2, 2] < 50
+
+
+class TestRemapSeparable:
+    def test_matches_exact_remap_on_rectification_like_maps(self):
+        """The separable shift-gather remap must match the exact gather remap
+        on smooth (rectification-like) maps: exactly where the vertical
+        displacement is row-constant, and to well under a pixel's intensity
+        step on smoothly varying maps; out-of-image samples zero identically."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from stereovision_tpu.core import image as im
+
+        rng = np.random.default_rng(31)
+        H, W = 64, 200
+        img = jnp.asarray(
+            np.cumsum(rng.uniform(-3, 3, (H, W)), axis=1).astype(np.float32))
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+
+        def run(mx, my):
+            prep = im.prepare_separable_remap(np.asarray(mx), np.asarray(my))
+            assert prep is not None
+            my_adj, valid, rx, ry = prep
+            got = im.remap_separable(img, mx, jnp.asarray(my_adj),
+                                     jnp.asarray(valid), rx, ry,
+                                     interpret=True)
+            return np.asarray(got), np.asarray(im.remap(img, mx, my))
+
+        # case 1: vertical displacement constant along x → exact equality
+        mx = jnp.asarray(xx + 2.25)
+        my = jnp.asarray(yy + 3.5 * np.sin(yy / 11.0)[:, :1] * np.ones((1, W)))
+        got, want = run(mx, my)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+        # case 2: a rectification-like map with LARGE horizontal
+        # displacement + zoom and a genuinely 2-D vertical component — the
+        # Catmull–Smith adjusted vertical map keeps the error at
+        # O(cross-derivative · 1 px), independent of |dx|
+        mx = jnp.asarray(1.12 * xx + 4.0 * np.sin(yy / 23.0) - 11.0)
+        my = jnp.asarray(yy + 3.0 * np.cos(xx / 37.0) - 0.7)
+        got, want = run(mx, my)
+        inr = want != 0.0
+        assert np.median(np.abs(got - want)[inr]) < 0.2
+        # identical zero-masking of out-of-image samples
+        np.testing.assert_array_equal(got == 0.0, want == 0.0)
