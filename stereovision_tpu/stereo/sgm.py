@@ -1004,13 +1004,25 @@ def _compute_disparity_hier(left, right, p: SGMParams):
             cl_arb = _census_words_for(left, p, impl)
         if cr_arb is None:
             cr_arb = _census_words_for(right, p, impl)
-        cd_a, cd_b = _census_distance_multi(
-            cl_arb, cr_arb, [disp, disp_b], p, impl
+        # exact-consumption pruning (outputs bit-identical): cd_a is only
+        # consumed where A is valid (the kill, and better_b's disagree arm,
+        # which take_b only reaches when A survived); cd_b only where A ended
+        # invalid or the windows disagree (everywhere else take_b is False
+        # and `valid` is already True regardless of valid_b). Masking the
+        # other pixels' offsets to 0 lets the gather's data-dependent block
+        # skip prune to the pixels that matter.
+        cd_a = _census_distance(
+            cl_arb, cr_arb, jnp.where(valid, disp, 0.0), p, impl
         )
         if p.census_kill > 0:
             valid = valid & (cd_a <= p.census_kill)
-            valid_b = valid_b & (cd_b <= p.census_kill)
         disagree = jnp.abs(disp_b - disp) > 2.0
+        need_b = (~valid) | disagree
+        cd_b = _census_distance(
+            cl_arb, cr_arb, jnp.where(need_b, disp_b, 0.0), p, impl
+        )
+        if p.census_kill > 0:
+            valid_b = valid_b & (cd_b <= p.census_kill)
         better_b = jnp.where(
             jnp.abs(cd_b - cd_a) > 1.0, cd_b < cd_a, cost_b < cost_a
         )
