@@ -147,6 +147,16 @@ def main():
     r_t = sgm_pallas.right_disparity(s_t, 100, pre_transposed=True)
     r_i = sgm_pallas.right_disparity(s_t, 100, pre_transposed=True, interpret=True)
     check("right_disparity", r_t, r_i)
+    # batched-group form (the packed LR chain's single launch): must equal
+    # per-group plane_offset calls stacked along rows
+    rg_t = sgm_pallas.right_disparity(s_t, 32, pre_transposed=True,
+                                      groups=3, group_stride=32)
+    rg_want = jnp.concatenate([
+        sgm_pallas.right_disparity(s_t, 32, pre_transposed=True,
+                                   plane_offset=g * 32, interpret=True)
+        for g in range(3)
+    ], axis=0)
+    check("right_disparity g3", rg_t, rg_want)
 
     # shift_gather (plain; and the pruned clipped multi-block warp form —
     # smooth offsets so the data-dependent block skip actually skips)

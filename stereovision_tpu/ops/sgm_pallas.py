@@ -1382,7 +1382,10 @@ def _rdisp_kernel(aggt_ref, out_ref, best_ref, idx_ref, *, bd: int, d_valid: int
     # only STATIC rotates (plane dd rotated by −dd), and the block's running
     # (min, argmin) is realigned into the carry with ONE dynamic rotate per
     # grid step. Ties resolve to the smallest d throughout (strict <).
-    j = pl.program_id(1)
+    # Grid is (groups, nh, nd): the lane-packed LR chain batches its strips'
+    # independent argmins into one launch (group g reads its own plane slab
+    # via the in_spec index map; g never appears in the math below).
+    j = pl.program_id(2)
     bh = aggt_ref.shape[1]
     wp = aggt_ref.shape[2]
     u_iota = jax.lax.broadcasted_iota(jnp.int32, (bh, wp), 1)
@@ -1414,26 +1417,35 @@ def _rdisp_kernel(aggt_ref, out_ref, best_ref, idx_ref, *, bd: int, d_valid: int
     take = lbest < best_ref[:]
     best_ref[:] = jnp.where(take, lbest, best_ref[:])
     idx_ref[:] = jnp.where(take, lidx + sh, idx_ref[:])
-    out_ref[:] = idx_ref[:]
+    out_ref[0, :, :] = idx_ref[:]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "d_valid", "block_h", "block_d", "pre_transposed", "plane_offset", "interpret"
+        "d_valid", "block_h", "block_d", "pre_transposed", "plane_offset",
+        "groups", "group_stride", "interpret"
     ),
 )
 def right_disparity(
     agg: jax.Array, d_valid: int, block_h: int = 8, block_d: int = 32,
-    pre_transposed: bool = False, plane_offset: int = 0, interpret: bool = False,
+    pre_transposed: bool = False, plane_offset: int = 0,
+    groups: int = 1, group_stride: int | None = None, interpret: bool = False,
 ):
     """(H, W, D) aggregated volume → (H, W) right-view disparity indices:
     dR(u) = argmin_{d<d_valid} agg[y, u+d, d] (cv2's disp12 companion view,
     computed from the same volume — no second matching pass).
 
     ``plane_offset``: skip that many leading d-planes (a lane-packed volume's
-    group g lives at planes [g·dg, (g+1)·dg) — one call per group extracts its
-    half's right disparity without slicing a copy of the volume)."""
+    group g lives at planes [g·dg, (g+1)·dg)).
+
+    ``groups`` > 1 (with ``group_stride`` = dg planes per group, requires
+    ``pre_transposed``): batch ALL lane groups' independent argmins into ONE
+    kernel launch — group g reads planes [offset + g·dg, …) and its (H, W)
+    result lands at output rows [g·H, (g+1)·H). Replaces the packed LR
+    chain's per-group call loop (one pad + one launch instead of ``groups``
+    of each). Requires H to be a block_h multiple so group row ranges align
+    with the output grid (the packed core pads strips to ×8 rows)."""
     if pre_transposed:  # (D, H, W) straight from the fused aggregation pass
         aggt = agg
         D, H, W = agg.shape
@@ -1445,27 +1457,39 @@ def right_disparity(
         aggt = jnp.pad(aggt, ((0, 0), (0, 0), (0, Wp - W)))
     nh = pl.cdiv(H, block_h)
     nd = pl.cdiv(d_valid, block_d)
-    assert plane_offset % block_d == 0 and plane_offset + d_valid <= D
+    assert plane_offset % block_d == 0
+    if groups > 1:
+        assert pre_transposed and group_stride is not None
+        assert group_stride % block_d == 0 and H % block_h == 0
+        assert plane_offset + (groups - 1) * group_stride + d_valid <= D
+        gs_b = group_stride // block_d
+    else:
+        assert plane_offset + d_valid <= D
+        gs_b = 0
     off_b = plane_offset // block_d
     out = pl.pallas_call(
         functools.partial(_rdisp_kernel, bd=block_d, d_valid=d_valid, w=W),
-        grid=(nh, nd),
+        grid=(groups, nh, nd),
         in_specs=[
             pl.BlockSpec(
                 (block_d, block_h, Wp),
-                lambda i, j: (j + off_b, i, 0),
+                lambda g, i, j: (j + off_b + g * gs_b, i, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
-        out_specs=pl.BlockSpec((block_h, Wp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, Wp), jnp.int32),
+        out_specs=pl.BlockSpec(
+            (1, block_h, Wp), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((groups, H, Wp), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((block_h, Wp), jnp.float32),
             pltpu.VMEM((block_h, Wp), jnp.int32),
         ],
         interpret=interpret,
     )(aggt)
-    return out[:, :W]
+    if groups > 1:
+        return out.reshape(groups * H, Wp)[:, :W]
+    return out[0, :, :W]
 
 
 # ---------------------------------------------------------------------------

@@ -741,15 +741,11 @@ def _disparity_core_packed(left, right, params: SGMParams, impl: str,
             )
     disp, valid, best_c = _wta(None, p, (best, idx, cm, cp, comp))
     if p.lr_max_diff >= 0:
-        disp_r = jnp.concatenate(
-            [
-                sgm_pallas.right_disparity(
-                    s_t, D, pre_transposed=True, plane_offset=g * dg,
-                    interpret=interpret,
-                )
-                for g in range(ng_lr)
-            ],
-            axis=0,
+        # one launch for all LR-checked strips: group g reads planes
+        # [g·dg, (g+1)·dg) of s_t and lands at rows [g·Hh, (g+1)·Hh)
+        disp_r = sgm_pallas.right_disparity(
+            s_t, D, pre_transposed=True, groups=ng_lr, group_stride=dg,
+            interpret=interpret,
         )
         if ng_lr < pk:
             n_rows = ng_lr * Hh
