@@ -33,10 +33,9 @@ def calibrate_midas_to_stereo(midas_depth, stereo_disparity, stereo_confidence):
         return midas * scale + offset
 
     def minmax(_):
-        m5 = jnp.percentile(midas, 5.0)
-        m95 = jnp.percentile(midas, 95.0)
-        s5 = jnp.percentile(stereo, 5.0)
-        s95 = jnp.percentile(stereo, 95.0)
+        # one sort per array: a vector of quantiles shares the sorted copy
+        m5, m95 = jnp.percentile(midas, jnp.asarray((5.0, 95.0)))
+        s5, s95 = jnp.percentile(stereo, jnp.asarray((5.0, 95.0)))
         flat = jnp.full_like(midas, (s5 + s95) / 2.0)
         normalized = (midas - m5) / (m95 - m5 + 1e-8)
         mapped = s5 + normalized * (s95 - s5)
@@ -51,10 +50,10 @@ def normalize_to_stereo_range(depth_map, stereo_disparity, invert: bool = True):
     range; ``invert`` flips to the near=large convention first (the flow path
     does 255 − x before fusing, reference :2800-2811)."""
     d = depth_map.astype(jnp.float32)
-    lo = jnp.percentile(d, 5.0)
-    hi = jnp.percentile(d, 95.0)
+    lo, hi = jnp.percentile(d, jnp.asarray((5.0, 95.0)))
     norm = jnp.clip((d - lo) / (hi - lo + 1e-8), 0.0, 1.0) * 255.0
     norm = jnp.where(invert, 255.0 - norm, norm)
-    s5 = jnp.percentile(stereo_disparity.astype(jnp.float32), 5.0)
-    s95 = jnp.percentile(stereo_disparity.astype(jnp.float32), 95.0)
+    s5, s95 = jnp.percentile(
+        stereo_disparity.astype(jnp.float32), jnp.asarray((5.0, 95.0))
+    )
     return s5 + norm / 255.0 * (s95 - s5)
